@@ -1,0 +1,12 @@
+"""Core volumetric ops: identity grids, warping, resizing, windowed sums."""
+from .grid import identity_grid, identity_grid_batch, normalize_displacement
+from .onehot import one_hot
+from .resize import nearest_resize, trilinear_resize
+from .warp import grid_sample, warp, warp_labels
+from .window import window_sum
+
+__all__ = [
+    "identity_grid", "identity_grid_batch", "normalize_displacement",
+    "one_hot", "nearest_resize", "trilinear_resize",
+    "grid_sample", "warp", "warp_labels", "window_sum",
+]

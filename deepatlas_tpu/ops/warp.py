@@ -1,0 +1,145 @@
+"""Spatial transformer: dense trilinear / nearest warping of 3D volumes.
+
+TPU-native replacement for the reference's ``F.grid_sample(source, grid,
+mode='bilinear', padding_mode='zeros', align_corners=True)`` call
+(voxel_morph.py:90-91).  Implemented as an 8-corner gather with per-corner
+out-of-bounds masking — XLA lowers the gathers to efficient dynamic-slices and
+the whole op is differentiable w.r.t. both the volume (scatter-add adjoint) and
+the sampling grid (through the interpolation weights), exactly like the
+PyTorch kernel's analytic gradients.
+
+Semantics (bit-matched against torch.nn.functional.grid_sample in
+tests/test_warp.py):
+  * grid coordinates are normalized to [-1, 1], align_corners=True:
+    voxel index ``i`` on an axis of size ``n`` sits at ``-1 + 2 i / (n-1)``.
+  * last grid axis is ordered ``(x, y, z)``: x indexes W, y indexes H, z
+    indexes D.
+  * padding_mode='zeros': out-of-bounds *corner* samples contribute zero (the
+    interpolation still blends in-bounds corners near the border).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .grid import identity_grid_batch
+
+
+def _unnormalize(coord: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Map [-1, 1] (align_corners=True) to [0, size-1] voxel coordinates."""
+    return (coord + 1.0) * ((size - 1) / 2.0)
+
+
+def _gather_volume(vol_flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather flattened voxels: vol_flat (B, DHW, C), idx (B, P) -> (B, P, C)."""
+    return jnp.take_along_axis(vol_flat, idx[..., None], axis=1)
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def grid_sample(vol: jnp.ndarray, grid: jnp.ndarray,
+                mode: str = "trilinear") -> jnp.ndarray:
+    """Sample ``vol`` at the locations given by ``grid``.
+
+    Args:
+      vol: ``(B, D, H, W, C)`` volume (channel-last).
+      grid: ``(B, Do, Ho, Wo, 3)`` normalized sample locations, last axis
+        ``(x, y, z)`` in [-1, 1] (align_corners=True).
+      mode: "trilinear" or "nearest" (nearest uses round-half-to-even like
+        the PyTorch kernel).
+
+    Returns:
+      ``(B, Do, Ho, Wo, C)`` warped volume; zeros outside the source extent.
+    """
+    if vol.ndim != 5 or grid.ndim != 5 or grid.shape[-1] != 3:
+        raise ValueError(
+            f"grid_sample expects vol (B,D,H,W,C) and grid (B,Do,Ho,Wo,3); "
+            f"got {vol.shape} and {grid.shape}")
+    b, d, h, w, c = vol.shape
+    out_spatial = grid.shape[1:4]
+    compute_dtype = grid.dtype
+
+    gx = _unnormalize(grid[..., 0].astype(compute_dtype), w)
+    gy = _unnormalize(grid[..., 1].astype(compute_dtype), h)
+    gz = _unnormalize(grid[..., 2].astype(compute_dtype), d)
+
+    p = out_spatial[0] * out_spatial[1] * out_spatial[2]
+    gx = gx.reshape(b, p)
+    gy = gy.reshape(b, p)
+    gz = gz.reshape(b, p)
+
+    vol_flat = vol.reshape(b, d * h * w, c)
+
+    def flat_index(iz, iy, ix):
+        return (iz * h + iy) * w + ix
+
+    def corner_term(iz, iy, ix, weight):
+        inb = ((ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
+               & (iz >= 0) & (iz <= d - 1))
+        idx = flat_index(jnp.clip(iz, 0, d - 1), jnp.clip(iy, 0, h - 1),
+                         jnp.clip(ix, 0, w - 1))
+        vals = _gather_volume(vol_flat, idx)
+        wgt = jnp.where(inb, weight, 0.0)
+        return vals * wgt[..., None].astype(vol.dtype)
+
+    if mode == "nearest":
+        ix = jnp.round(gx).astype(jnp.int32)
+        iy = jnp.round(gy).astype(jnp.int32)
+        iz = jnp.round(gz).astype(jnp.int32)
+        out = corner_term(iz, iy, ix, jnp.ones_like(gx))
+    elif mode == "trilinear":
+        x0 = jnp.floor(gx)
+        y0 = jnp.floor(gy)
+        z0 = jnp.floor(gz)
+        fx = gx - x0
+        fy = gy - y0
+        fz = gz - z0
+        ix0 = x0.astype(jnp.int32)
+        iy0 = y0.astype(jnp.int32)
+        iz0 = z0.astype(jnp.int32)
+        ix1, iy1, iz1 = ix0 + 1, iy0 + 1, iz0 + 1
+
+        out = corner_term(iz0, iy0, ix0, (1 - fz) * (1 - fy) * (1 - fx))
+        out += corner_term(iz0, iy0, ix1, (1 - fz) * (1 - fy) * fx)
+        out += corner_term(iz0, iy1, ix0, (1 - fz) * fy * (1 - fx))
+        out += corner_term(iz0, iy1, ix1, (1 - fz) * fy * fx)
+        out += corner_term(iz1, iy0, ix0, fz * (1 - fy) * (1 - fx))
+        out += corner_term(iz1, iy0, ix1, fz * (1 - fy) * fx)
+        out += corner_term(iz1, iy1, ix0, fz * fy * (1 - fx))
+        out += corner_term(iz1, iy1, ix1, fz * fy * fx)
+    else:
+        raise ValueError(f"Unknown warp mode: {mode!r}")
+
+    return out.reshape(b, *out_spatial, c)
+
+
+def warp(vol: jnp.ndarray, disp: jnp.ndarray,
+         mode: str = "trilinear") -> jnp.ndarray:
+    """Warp ``vol`` by a normalized displacement field.
+
+    ``deform = disp + identity`` then trilinear sampling — the reference's
+    spatial-transformer composition (voxel_morph.py:85-91).
+
+    Args:
+      vol: ``(B, D, H, W, C)`` volume.
+      disp: ``(B, D, H, W, 3)`` displacement in normalized units, last axis
+        ``(x, y, z)``.
+    """
+    deform = disp + identity_grid_batch(disp.shape, dtype=disp.dtype)
+    return grid_sample(vol, deform, mode=mode)
+
+
+def warp_labels(labels: jnp.ndarray, deform: jnp.ndarray) -> jnp.ndarray:
+    """Warp an integer label mask with nearest-neighbour sampling.
+
+    Args:
+      labels: ``(B, D, H, W)`` integer mask.
+      deform: ``(B, D, H, W, 3)`` dense deformation (identity + displacement).
+
+    Returns:
+      ``(B, D, H, W)`` warped mask (same dtype as input).
+    """
+    vol = labels[..., None].astype(deform.dtype)
+    out = grid_sample(vol, deform, mode="nearest")
+    return out[..., 0].astype(labels.dtype)
