@@ -1,0 +1,129 @@
+"""Dice losses.
+
+TPU-native reimplementations of the reference's segmentation losses:
+  * ``DiceLossMultiClass`` (loss.py:397-476) — the default seg training loss
+    (train_seg.py:54-55): softmax probabilities vs one-hot targets with
+    Uniform / Simple / Volume class weighting and optional background drop.
+  * ``DiceLossOnLabel`` (loss.py:348-391) — mask-vs-mask dice, used as the
+    DeepAtlas anatomy loss between warped and fixed segmentations.
+
+All reductions are single fused XLA programs over channel-last tensors —
+no host round-trips.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import one_hot
+
+
+def _flatten_spatial(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, H, W, C) -> (B, C, P)."""
+    b, c = x.shape[0], x.shape[-1]
+    return jnp.moveaxis(x, -1, 1).reshape(b, c, -1)
+
+
+def _class_weights(target_volume: jnp.ndarray, weight_type: str,
+                   eps: float) -> jnp.ndarray:
+    """Per-(batch, class) weights, normalized by the global max
+    (loss.py:452-468)."""
+    if weight_type == "Simple":
+        weights = 1.0 / (target_volume ** (1.0 / 3.0) + eps)
+    elif weight_type == "Volume":
+        weights = 1.0 / (target_volume + eps)
+        finite = jnp.isfinite(weights)
+        max_finite = jnp.max(jnp.where(finite, weights, -jnp.inf),
+                             axis=1, keepdims=True)
+        weights = jnp.where(finite, weights, max_finite)
+    elif weight_type == "Uniform":
+        weights = jnp.ones_like(target_volume)
+    else:
+        raise ValueError(f"Class weighting type {weight_type!r} does not exist!")
+    return weights / jnp.max(weights)
+
+
+def dice_loss_multiclass(source: jnp.ndarray, target: jnp.ndarray,
+                         n_class: int, weight_type: str = "Simple",
+                         no_bg: bool = False, softmax: bool = False,
+                         eps: float = 1e-7) -> jnp.ndarray:
+    """Multi-class soft dice loss.
+
+    Args:
+      source: ``(B, D, H, W, C)`` logits (softmax=True) or probabilities.
+      target: ``(B, D, H, W)`` integer mask, or ``(B, D, H, W, C)``
+        probabilities / one-hot.
+      n_class: number of classes (C).
+    """
+    if softmax:
+        source = jax.nn.softmax(source, axis=-1)
+    src = _flatten_spatial(source)
+    if target.ndim == source.ndim - 1:
+        tgt = _flatten_spatial(one_hot(target, n_class, dtype=source.dtype))
+    elif target.ndim == source.ndim and target.shape[-1] == source.shape[-1]:
+        tgt = _flatten_spatial(target.astype(source.dtype))
+    else:
+        raise ValueError(
+            f"Incorrect target shape {target.shape} for source {source.shape}")
+
+    if no_bg:
+        src = src[:, 1:, :]
+        tgt = tgt[:, 1:, :]
+
+    source_volume = src.sum(axis=2)
+    target_volume = tgt.sum(axis=2)
+    weights = _class_weights(target_volume, weight_type, eps)
+
+    intersection = (src * tgt).sum(axis=2)
+    scores = (2.0 * intersection + eps) / (source_volume + target_volume
+                                           + 2.0 * eps)
+    return 1.0 - jnp.sum(weights * scores) / jnp.sum(weights)
+
+
+def dice_loss_on_label(source: jnp.ndarray, target: jnp.ndarray,
+                       n_class: int, weight_type: str = "Uniform",
+                       eps: float = 1e-5) -> jnp.ndarray:
+    """Dice between two *hard* label masks, background excluded.
+
+    Args:
+      source, target: ``(B, D, H, W)`` integer masks.
+    """
+    src = _flatten_spatial(one_hot(source, n_class))[:, 1:, :]
+    tgt = _flatten_spatial(one_hot(target, n_class))[:, 1:, :]
+
+    source_volume = src.sum(axis=2)
+    target_volume = tgt.sum(axis=2)
+
+    if weight_type == "Simple":
+        weights = 1.0 / target_volume
+        weights = jnp.where(jnp.isinf(weights), jnp.ones_like(weights), weights)
+    elif weight_type == "Uniform":
+        weights = jnp.ones_like(target_volume)
+    else:
+        raise ValueError(f"Unknown weight_type {weight_type!r}")
+
+    intersection = (src * tgt).sum(axis=2)
+    scores = (2.0 * intersection * weights) / (
+        weights * (source_volume + target_volume) + eps)
+    return 1.0 - jnp.mean(scores)
+
+
+def soft_dice_on_probs(source_probs: jnp.ndarray, target: jnp.ndarray,
+                       n_class: int, eps: float = 1e-5) -> jnp.ndarray:
+    """Differentiable anatomy loss: dice between warped one-hot *probabilities*
+    and a hard target mask, background excluded.
+
+    This is the joint-training variant: the moving one-hot segmentation is
+    trilinearly warped (soft values), so gradients flow into the displacement
+    field — the reference's DiceLossOnLabel is not differentiable through the
+    warp, so DeepAtlas-style joint training needs this soft form.
+    """
+    src = _flatten_spatial(source_probs)[:, 1:, :]
+    tgt = _flatten_spatial(one_hot(target, n_class,
+                                   dtype=source_probs.dtype))[:, 1:, :]
+    intersection = (src * tgt).sum(axis=2)
+    denom = src.sum(axis=2) + tgt.sum(axis=2)
+    scores = 2.0 * intersection / (denom + eps)
+    return 1.0 - jnp.mean(scores)

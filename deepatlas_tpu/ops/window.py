@@ -33,24 +33,29 @@ def window_sum(x: jnp.ndarray, window: IntOr3, stride: IntOr3 = 1,
     """Valid-padding box-filter sum over the spatial axes of (B, D, H, W, C).
 
     Equivalent to ``F.conv3d(x, ones(1,1,k,k,k), padding=0, stride=s,
-    dilation=d)`` applied per channel, but separable.
+    dilation=d)`` applied per channel, but separable — three depthwise 1-D
+    ones-kernel convolutions (differentiable, unlike a generic
+    ``lax.reduce_window`` reducer, so LNCC losses can be trained through).
 
     Returns (B, D', H', W', C) with D' = floor((D - d*(k-1) - 1)/s) + 1 etc.
     """
     win = _as3(window)
     st = _as3(stride)
     dil = _as3(dilation)
+    c = x.shape[-1]
+    dn = lax.conv_dimension_numbers(x.shape, (1, 1, 1, 1, c),
+                                    ("NDHWC", "DHWIO", "NDHWC"))
     out = x
     for axis, (k, s, dl) in enumerate(zip(win, st, dil)):
-        wdims = [1] * out.ndim
-        wstrides = [1] * out.ndim
-        wdil = [1] * out.ndim
-        wdims[axis + 1] = k
-        wstrides[axis + 1] = s
-        wdil[axis + 1] = dl
-        out = lax.reduce_window(out, jnp.zeros((), out.dtype), lax.add,
-                                window_dimensions=wdims,
-                                window_strides=wstrides,
-                                padding="VALID",
-                                window_dilation=wdil)
+        kshape = [1, 1, 1]
+        kshape[axis] = k
+        kernel = jnp.ones(tuple(kshape) + (1, c), out.dtype)
+        strides = [1, 1, 1]
+        strides[axis] = s
+        rhs_dil = [1, 1, 1]
+        rhs_dil[axis] = dl
+        out = lax.conv_general_dilated(
+            out, kernel, window_strides=strides, padding="VALID",
+            rhs_dilation=rhs_dil, dimension_numbers=dn,
+            feature_group_count=c, precision=lax.Precision.HIGHEST)
     return out
