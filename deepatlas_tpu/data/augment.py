@@ -1,0 +1,152 @@
+"""Device-side random augmentation (jit-compiled resampling).
+
+TPU-native replacements for the reference's ITK-filter augmentations:
+  * ``random_bspline_warp``   — RandomBSplineTransform (transforms.py:161-200):
+    random control-point displacements upsampled to a dense field by
+    trilinear interpolation, applied with our spatial transformer.
+  * ``random_rigid_warp``     — RandomRigidTransform (transforms.py:202-260):
+    random Euler rotations about the volume center + random translation,
+    realized as an affine sampling grid.
+  * ``gaussian_blur``         — GaussianBlur (transforms.py:293-306):
+    separable Gaussian convolution.
+
+All are pure functions of an explicit PRNG key (reproducible, vmappable,
+fusable into the input pipeline) instead of stateful host-side filters.
+Angles are degrees, translations voxels, matching the reference's parameter
+conventions (stddev = value/2, transforms.py:230-236).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import (grid_sample, identity_grid, identity_grid_batch,
+                   normalize_displacement, trilinear_resize)
+from ..ops.window import _as3
+
+
+@partial(jax.jit, static_argnames=("vol_shape", "mesh_size", "freeze_axes"))
+def random_bspline_field(key, vol_shape: Tuple[int, int, int],
+                         mesh_size: Tuple[int, int, int] = (3, 3, 3),
+                         deform_scale: float = 1.0,
+                         freeze_axes: Tuple[int, ...] = (),
+                         ) -> jnp.ndarray:
+    """Dense normalized displacement field from a random control grid.
+
+    Control displacements ~ N(0, (deform_scale/2)^2) voxels on a
+    ``mesh_size`` grid, trilinearly upsampled (a B-spline-order-1 surrogate
+    for ITK's cubic B-spline — same capability: smooth random warps).
+
+    Returns ``(D, H, W, 3)`` normalized displacement, last axis (x, y, z).
+    """
+    ctrl = jax.random.normal(key, (1,) + tuple(mesh_size) + (3,)) \
+        * (deform_scale / 2.0)
+    for axis in freeze_axes:
+        ctrl = ctrl.at[..., axis].set(0.0)
+    dense = trilinear_resize(ctrl, vol_shape, align_corners=True)[0]
+    return normalize_displacement(dense)
+
+
+@partial(jax.jit, static_argnames=())
+def _warp_pair(image, seg, deform):
+    warped_img = grid_sample(image[None], deform[None], mode="trilinear")[0]
+    warped_seg = None
+    if seg is not None:
+        seg_vol = seg[None, ..., None].astype(deform.dtype)
+        warped_seg = grid_sample(seg_vol, deform[None],
+                                 mode="nearest")[0, ..., 0].astype(seg.dtype)
+    return warped_img, warped_seg
+
+
+def random_bspline_warp(key, image: jnp.ndarray,
+                        seg: Optional[jnp.ndarray] = None,
+                        mesh_size: Tuple[int, int, int] = (3, 3, 3),
+                        deform_scale: float = 1.0,
+                        ratio: float = 0.5,
+                        freeze_axes: Tuple[int, ...] = ()):
+    """Randomly B-spline-warp ``image`` (trilinear) and ``seg`` (nearest)
+    with probability ``ratio``.
+
+    Args:
+      image: ``(D, H, W, C)``; seg: ``(D, H, W)`` or None.
+    """
+    k_apply, k_field = jax.random.split(key)
+    disp = random_bspline_field(k_field, image.shape[:3], mesh_size,
+                                deform_scale, freeze_axes)
+    apply = jax.random.uniform(k_apply) < ratio
+    disp = jnp.where(apply, disp, jnp.zeros_like(disp))
+    deform = disp + identity_grid(image.shape[:3], dtype=disp.dtype)
+    return _warp_pair(image, seg, deform)
+
+
+def _euler_matrix(rx, ry, rz):
+    """Rotation matrix Rz @ Ry @ Rx acting on (x, y, z) coordinates."""
+    cx, sx = jnp.cos(rx), jnp.sin(rx)
+    cy, sy = jnp.cos(ry), jnp.sin(ry)
+    cz, sz = jnp.cos(rz), jnp.sin(rz)
+    r_x = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    r_y = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    r_z = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return r_z @ r_y @ r_x
+
+
+def random_rigid_warp(key, image: jnp.ndarray,
+                      seg: Optional[jnp.ndarray] = None,
+                      rotation_angles: Sequence[float] = (0.0, 0.0, 0.0),
+                      translation: Sequence[float] = (0.0, 0.0, 0.0),
+                      ratio: float = 1.0, mode: str = "both"):
+    """Random rigid (Euler rotation + translation) resampling.
+
+    ``rotation_angles`` are per-axis degree scales (sampled N(0, a/2) like
+    transforms.py:230-232), ``translation`` per-axis voxel scales.
+    ``mode``: 'both' | 'img' | 'seg' (transforms.py:245-253).
+    """
+    d, h, w = image.shape[:3]
+    keys = jax.random.split(key, 3)
+    angles = jax.random.normal(keys[0], (3,)) \
+        * (jnp.asarray(rotation_angles) / 2.0) * (jnp.pi / 180.0)
+    trans_vox = jax.random.normal(keys[1], (3,)) \
+        * (jnp.asarray(translation, dtype=jnp.float32) / 2.0)
+    rot = _euler_matrix(angles[0], angles[1], angles[2])
+
+    grid = identity_grid((d, h, w))          # (D,H,W,3), (x,y,z) in [-1,1]
+    # rotate about the center (normalized coords are already centered),
+    # then translate (voxels -> normalized units)
+    half = jnp.asarray([(w - 1) / 2.0, (h - 1) / 2.0, (d - 1) / 2.0])
+    rotated = jnp.einsum("dhwc,rc->dhwr", grid, rot)
+    deform = rotated + trans_vox / half
+
+    apply = jax.random.uniform(keys[2]) < ratio
+    deform = jnp.where(apply, deform, grid)
+
+    warped_img, warped_seg = _warp_pair(image, seg, deform)
+    if mode == "img":
+        warped_seg = seg
+    elif mode == "seg":
+        warped_img = image
+    elif mode != "both":
+        raise ValueError(f"Wrong rigid transformation mode :{mode}!")
+    return warped_img, warped_seg
+
+
+@partial(jax.jit, static_argnames=("sigma", "truncate"))
+def gaussian_blur(image: jnp.ndarray, sigma: float = 0.7,
+                  truncate: float = 2.0) -> jnp.ndarray:
+    """Separable Gaussian blur of a ``(D, H, W, C)`` volume."""
+    radius = max(1, int(truncate * sigma + 0.5))
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    kern = jnp.exp(-0.5 * (offs / sigma) ** 2)
+    kern = kern / kern.sum()
+    out = image
+    for axis in range(3):
+        moved = jnp.moveaxis(out, axis, -1)
+        padded = jnp.pad(moved, [(0, 0)] * 3 + [(radius, radius)],
+                         mode="edge")
+        conv = jax.vmap(lambda row: jnp.convolve(row, kern, mode="valid"))
+        flat = padded.reshape(-1, padded.shape[-1])
+        moved = conv(flat).reshape(moved.shape)
+        out = jnp.moveaxis(moved, -1, axis)
+    return out

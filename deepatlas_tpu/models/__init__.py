@@ -1,0 +1,44 @@
+"""Network registry.
+
+Mirrors lib/network_factory/__init__.py:9-27: keys ``voxel_morph_cvpr``,
+``UNet``, ``UNet_light`` (the UNetTemplate instantiation with the reference's
+channel plan).  ``get_network(name)`` returns a Flax module factory callable
+with the reference's ``model_settings`` kwargs
+(e.g. ``{'in_channel': 1, 'n_classes': 32, 'bias': True, 'BN': True}``,
+train_seg.py:47).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+from .unet import UNet, UNetTemplate
+from .voxelmorph import VoxelMorphCVPR2018
+
+__all__ = ["UNet", "UNetTemplate", "VoxelMorphCVPR2018", "UNetLight",
+           "network_dic", "get_network", "get_available_networks"]
+
+# the UNet_light channel plan (network_factory/__init__.py:12-15)
+UNET_LIGHT_ENCODERS = ((8, 16), (16, 16, 32), (32, 32, 64), (64, 64, 64))
+UNET_LIGHT_DECODERS = ((64, 64, 64), (64, 32, 32), (32, 16, 16))
+
+UNetLight = partial(UNetTemplate,
+                    encoders=UNET_LIGHT_ENCODERS,
+                    decoders=UNET_LIGHT_DECODERS,
+                    act="LeakyReLU", maxpool=True, upsample=False, res=False)
+
+network_dic = {
+    "voxel_morph_cvpr": VoxelMorphCVPR2018,
+    "UNet": UNet,
+    "UNet_light": UNetLight,
+}
+
+
+def get_network(network_name: str):
+    if network_name not in network_dic:
+        raise KeyError(f'Network "{network_name}" is not available!\n '
+                       f"Choose from: {get_available_networks()}")
+    return network_dic[network_name]
+
+
+def get_available_networks():
+    return tuple(network_dic.keys())

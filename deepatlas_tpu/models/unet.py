@@ -1,0 +1,141 @@
+"""3D U-Nets: the fixed ``UNet`` and the configurable ``UNetTemplate``.
+
+Capability parity with lib/network_factory/unets.py:
+  * ``UNet`` — the fixed ec0..ec7 / dc9..dc0 plan with 3 max-pools and a
+    512-channel bottleneck (unets.py:70-179).  The reference builds its
+    stride-1 k3 p1 "decoder" convs as ConvTranspose3d modules
+    (unets.py:124-137); a stride-1 transpose conv is mathematically a plain
+    conv with flipped kernels, so we use nn.Conv (the torch-parity test
+    transfers weights with the flip).
+  * ``UNetTemplate`` — the ``UNet_generator`` template (unets.py:182-280)
+    parameterized by encoder/decoder channel plans; ``UNet_light`` is the
+    instantiation registered in network_factory/__init__.py:12-15.
+
+Inputs are channel-last ``(B, D, H, W, C)``; outputs are raw logits
+``(B, D, H, W, n_classes)`` (softmax lives in the dice loss, loss.py:426-427).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ConvBlock, DeconvBlock, conv_kernel_init, max_pool_3d
+
+
+class UNet(nn.Module):
+    """Fixed 3-pool U-Net (unets.py:70-179)."""
+    in_channel: int = 1
+    n_classes: int = 2
+    bias: bool = False
+    BN: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        def enc(features, h):
+            return ConvBlock(features, 3, 1, 1, use_bias=self.bias,
+                             batchnorm=self.BN, act="ReLU")(h, train)
+
+        def dec_conv(features, h):
+            return ConvBlock(features, 3, 1, 1, use_bias=self.bias,
+                             batchnorm=self.BN, act="ReLU")(h, train)
+
+        def dec_up(features, h):
+            return DeconvBlock(features, 2, 2, use_bias=self.bias,
+                               batchnorm=self.BN, act="ReLU")(h, train)
+
+        e0 = enc(32, x)
+        syn0 = enc(64, e0)
+        e1 = max_pool_3d(syn0)
+        e2 = enc(64, e1)
+        syn1 = enc(128, e2)
+        e3 = max_pool_3d(syn1)
+        e4 = enc(128, e3)
+        syn2 = enc(256, e4)
+        e5 = max_pool_3d(syn2)
+        e6 = enc(256, e5)
+        e7 = enc(512, e6)
+
+        d9 = jnp.concatenate([dec_up(512, e7), syn2], axis=-1)
+        d8 = dec_conv(256, d9)
+        d7 = dec_conv(256, d8)
+        d6 = jnp.concatenate([dec_up(256, d7), syn1], axis=-1)
+        d5 = dec_conv(128, d6)
+        d4 = dec_conv(128, d5)
+        d3 = jnp.concatenate([dec_up(128, d4), syn0], axis=-1)
+        d2 = dec_conv(64, d3)
+        d1 = dec_conv(64, d2)
+        d0 = nn.Conv(self.n_classes, (1, 1, 1), use_bias=self.bias,
+                     kernel_init=conv_kernel_init)(d1)
+        return d0
+
+
+class UNetTemplate(nn.Module):
+    """Configurable U-Net (unets.py:198-278).
+
+    ``encoders``/``decoders`` are per-level channel tuples; the first encoder
+    level is implicitly prefixed with ``in_channel`` (unets.py:222-224), each
+    decoder level's conv chain is prefixed with the skip concat width
+    (unets.py:244), and the final level appends a 1x1x1 conv to ``n_classes``
+    (unets.py:249-250).
+    """
+    encoders: Tuple[Tuple[int, ...], ...]
+    decoders: Tuple[Tuple[int, ...], ...]
+    in_channel: int = 1
+    n_classes: int = 2
+    bias: bool = False
+    BN: bool = False
+    act: str = "ReLU"
+    maxpool: bool = True
+    upsample: bool = False
+    res: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        levels = len(self.encoders)
+        skips = []
+
+        # encoder path: level 0's chain is (in_channel,) + plan, deeper levels
+        # conv between consecutive plan entries (unets.py:222-227)
+        for i, enc_plan in enumerate(self.encoders):
+            h = x
+            chain = enc_plan if i == 0 else enc_plan[1:]
+            for features in chain:
+                h = ConvBlock(features, 3, 1, 1, use_bias=self.bias,
+                              batchnorm=self.BN, act=self.act)(h, train)
+            if self.res:
+                h = h + x
+            if i < levels - 1:
+                skips.append(h)
+                if self.maxpool:
+                    x = max_pool_3d(h)
+                else:
+                    x = nn.Conv(self.encoders[i + 1][0], (2, 2, 2),
+                                strides=(2, 2, 2), padding="VALID",
+                                use_bias=self.bias,
+                                kernel_init=conv_kernel_init)(h)
+            else:
+                x = h
+
+        # decoder path
+        for j, dec_plan in enumerate(self.decoders):
+            if self.upsample:
+                from ..ops import trilinear_resize
+                up_shape = tuple(2 * s for s in x.shape[1:4])
+                x = trilinear_resize(x, up_shape, align_corners=False)
+            else:
+                x = DeconvBlock(dec_plan[0], 2, 2, use_bias=self.bias,
+                                batchnorm=self.BN, act=self.act)(x, train)
+            skip = skips.pop()
+            h = jnp.concatenate([x, skip], axis=-1)
+            for features in dec_plan[1:]:
+                h = ConvBlock(features, 3, 1, 1, use_bias=self.bias,
+                              batchnorm=self.BN, act=self.act)(h, train)
+            if self.res:
+                h = h + x
+            x = h
+            if j == len(self.decoders) - 1:
+                x = nn.Conv(self.n_classes, (1, 1, 1), use_bias=self.bias,
+                            kernel_init=conv_kernel_init)(x)
+        return x

@@ -1,0 +1,73 @@
+"""VoxelMorph (CVPR 2018) registration network + spatial transformer.
+
+Capability parity with lib/network_factory/voxel_morph.py:18-101: a 5-level
+strided-conv encoder over the concatenated (source, target) pair, a decoder
+with nearest-neighbour upsampling to the matching encoder resolutions and
+channel-concat skips (the reference's ``F.interpolate`` calls default to
+nearest, voxel_morph.py:72-80), a 3-channel flow head, and a trilinear
+spatial-transformer warp of the source by ``displacement + identity``
+(voxel_morph.py:85-91).
+
+Channel-last layout; the returned displacement/deformation fields are
+``(B, D, H, W, 3)`` with last axis (x, y, z) in normalized [-1, 1] units —
+identical semantics to the reference's permuted grid.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import grid_sample, identity_grid_batch, nearest_resize
+from .layers import ConvBlock, conv_kernel_init
+
+
+class VoxelMorphCVPR2018(nn.Module):
+    input_channel: int = 2
+    output_channel: int = 3
+    enc_filters: Tuple[int, ...] = (16, 32, 32, 32, 32)
+    dec_filters: Tuple[int, ...] = (32, 32, 32, 8, 8)
+
+    @nn.compact
+    def __call__(self, source: jnp.ndarray, target: jnp.ndarray,
+                 train: bool = False):
+        """Register ``source`` onto ``target``.
+
+        Args:
+          source, target: ``(B, D, H, W, C)`` volumes (C normally 1).
+
+        Returns:
+          (disp_field, warped_source, deform_field) — fields are
+          ``(B, D, H, W, 3)``, warped_source matches source's shape.
+        """
+        def conv(features, h, stride=1):
+            return ConvBlock(features, 3, stride, 1, use_bias=True,
+                             batchnorm=False, act="ReLU")(h, train)
+
+        x = jnp.concatenate([source, target], axis=-1)
+        encs = []
+        for i, f in enumerate(self.enc_filters):
+            x = conv(f, x, stride=1 if i == 0 else 2)
+            encs.append(x)
+        e1, e2, e3, e4, e5 = encs
+
+        d1 = conv(self.dec_filters[0], nearest_resize(e5, e4.shape[1:4]))
+        d2 = conv(self.dec_filters[1],
+                  nearest_resize(jnp.concatenate([d1, e4], axis=-1),
+                                 e3.shape[1:4]))
+        d3 = conv(self.dec_filters[2],
+                  nearest_resize(jnp.concatenate([d2, e3], axis=-1),
+                                 e2.shape[1:4]))
+        d4 = conv(self.dec_filters[3], jnp.concatenate([d3, e2], axis=-1))
+        d5 = conv(self.dec_filters[4], nearest_resize(d4, e1.shape[1:4]))
+
+        disp_field = nn.Conv(self.output_channel, (3, 3, 3), strides=(1, 1, 1),
+                             padding=[(1, 1)] * 3, use_bias=True,
+                             kernel_init=conv_kernel_init)(
+            jnp.concatenate([d5, e1], axis=-1))
+
+        deform_field = disp_field + identity_grid_batch(
+            source.shape, dtype=disp_field.dtype)
+        warped_source = grid_sample(source, deform_field, mode="trilinear")
+        return disp_field, warped_source, deform_field

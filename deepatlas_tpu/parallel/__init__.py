@@ -1,0 +1,16 @@
+"""Parallelism: device meshes and data-parallel (shard_map) training.
+
+The reference is single-process, single-GPU (SURVEY.md §2 statement); this
+package is the TPU-native scaling layer BASELINE.json config 5 requires:
+an explicit ``jax.sharding.Mesh``, shard_map data-parallel train/eval steps
+with gradient ``pmean`` over ICI, and cross-replica BatchNorm statistics.
+The mesh abstraction is DCN-ready (any device list forms the mesh) even
+though a single v4/v5e host only exercises ICI.
+"""
+from .mesh import make_mesh, local_device_count
+from .dp import (make_dp_seg_train_step, make_dp_seg_eval_step,
+                 make_dp_reg_train_step, shard_batch, replicate)
+
+__all__ = ["make_mesh", "local_device_count", "make_dp_seg_train_step",
+           "make_dp_seg_eval_step", "make_dp_reg_train_step", "shard_batch",
+           "replicate"]

@@ -1,0 +1,319 @@
+"""Joint DeepAtlas experiment: alternating semi-supervised seg+reg training.
+
+The headline capability of the reference (BASELINE.json config 3; README.md
+promises ``train_deeplatlas.py`` as TODO at README.md:19): a segmentation
+network and a registration network trained alternately on image pairs where
+only a few volumes carry labels —
+
+  * reg phase: similarity(warped moving, fixed) + smoothness(disp) +
+    anatomy dice(warped moving anatomy, fixed anatomy), with the frozen seg
+    net predicting anatomy for unlabeled volumes;
+  * seg phase: supervised dice on labeled volumes + anatomy consistency
+    through the frozen reg net's warp.
+
+Checkpoints carry both nets with ``seg_best_score`` / ``reg_best_score``
+keys (the aliases ``initialize_model`` accepts, models/base.py:96-101).
+"""
+from __future__ import annotations
+
+import datetime
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import (Compose, CropVolume, DataLoader, VolumeToArray, endless,
+                    get_reg_dataset, get_seg_dataset)
+from ..losses import get_loss_function
+from ..models import get_network
+from .base import BaseExperiment
+from .checkpoint import load_checkpoint, save_checkpoint
+from .reg_steps import (make_joint_reg_step, make_joint_seg_step,
+                        make_reg_eval_step)
+from .schedules import make_scheduler
+from .steps import (TrainState, make_optimizer, make_seg_eval_step,
+                    set_learning_rate)
+
+
+class DeepAtlasExperiment(BaseExperiment):
+    def __init__(self, config):
+        super().__init__(config)
+        if self.config.get("debug_mode"):
+            print("Debug mode")
+            self.config["print_batch_period"] = 2
+            self.config["valid_epoch_period"] = 2
+
+        self.exp_name = "DeepAtlas_{}_{}_{}labeled_{}epochs_lr_{}".format(
+            os.path.basename(self.config["data_dir"]),
+            self.config["seg_model"],
+            self.config.get("n_labeled", "all"),
+            self.config["n_epochs"],
+            self.config["learning_rate"])
+        self.ckpoint_dir = os.path.join(
+            self.config["log_dir"],
+            self.exp_name if not self.config.get("debug_mode")
+            else "debug_deepatlas",
+            str(self.config["random_seed"]))
+        print("Init experiment {} seed {}".format(
+            self.exp_name, self.config["random_seed"]))
+        self.seg_best_score = 0.0
+        self.reg_best_score = 0.0
+        self.current_epoch = 1
+        self.global_step = 0
+
+    # ------------------------------------------------------------- setup
+    def setup_log(self):
+        os.makedirs(self.ckpoint_dir, exist_ok=True)
+        self.save_config_snapshot(self.ckpoint_dir)
+        from tensorboardX import SummaryWriter
+        self.writer = SummaryWriter(self.ckpoint_dir)
+
+    def _transforms(self):
+        transforms = [VolumeToArray()]
+        if self.config.get("crop_size"):
+            transforms.append(CropVolume(self.config["crop_size"]))
+        return Compose(transforms)
+
+    def setup_train_data(self):
+        print("Initializing dataloader")
+        reg_cls = get_reg_dataset(self.config["data"])
+        tf = self._transforms()
+        training_data = reg_cls(
+            self.config["training_list_file"], self.config["data_dir"],
+            with_seg=True, preload=self.config.get("preload", False),
+            pre_transform=tf, n_samples=self.config.get("num_samples"))
+        self.training_data_loader = DataLoader(
+            training_data, batch_size=self.config["batch_size"], shuffle=True,
+            seed=self.config["random_seed"], prefetch=2)
+        # semi-supervision: only the first n_labeled scans keep their labels
+        self.n_labeled = self.config.get("n_labeled")
+        self.labeled_names = set(training_data.name_list[:self.n_labeled]
+                                 if self.n_labeled else
+                                 training_data.name_list)
+
+        self.validation_reg_loader = DataLoader(
+            reg_cls(self.config["validation_list_file"],
+                    self.config.get("valid_data_dir", self.config["data_dir"]),
+                    with_seg=True, preload=self.config.get("preload", False),
+                    pre_transform=tf),
+            batch_size=1, shuffle=False, prefetch=2)
+        seg_cls = get_seg_dataset(self.config["data"])
+        self.validation_seg_loader = DataLoader(
+            seg_cls(self.config["validation_list_file"],
+                    self.config.get("valid_data_dir", self.config["data_dir"]),
+                    with_seg=True, preload=self.config.get("preload", False),
+                    pre_transform=tf),
+            batch_size=1, shuffle=False, prefetch=2)
+
+    def setup_model(self):
+        self.seg_model = get_network(self.config["seg_model"])(
+            **self.config["seg_model_settings"])
+        self.reg_model = get_network(self.config["reg_model"])(
+            **self.config.get("reg_model_settings", {}))
+
+    def setup_loss(self):
+        self.sim_loss = get_loss_function(self.config.get("sim_loss", "lncc"))(
+            **self.config.get("sim_loss_settings", {}))
+        self.reg_loss = get_loss_function(
+            self.config.get("reg_loss", "bendingEnergy"))(
+            **self.config.get("reg_loss_settings", {}))
+        self.sup_loss = get_loss_function(self.config.get("seg_loss", "dice"))(
+            **self.config.get("seg_loss_settings",
+                              {"n_class": self.config["n_classes"],
+                               "weight_type": "Uniform", "softmax": True}))
+
+    def setup_optimizer(self):
+        self.seg_tx = make_optimizer(self.config["learning_rate"])
+        self.reg_tx = make_optimizer(
+            self.config.get("reg_learning_rate",
+                            self.config["learning_rate"]))
+        self.scheduler = make_scheduler(
+            self.config.get("lr_mode", "const"),
+            self.config["learning_rate"], self.config["n_epochs"],
+            self.config.get("milestones"), self.config.get("gamma", 0.2),
+            self.config.get("valid_epoch_period", 1))
+
+    def _init_state(self):
+        batch_m, batch_f = next(iter(self.validation_reg_loader))
+        moving = jnp.asarray(batch_m["image"][:1])
+        fixed = jnp.asarray(batch_f["image"][:1])
+        key = jax.random.fold_in(self.root_key, 0)
+        seg_vars = self.seg_model.init(key, moving, train=False)
+        reg_vars = self.reg_model.init(jax.random.fold_in(key, 1), moving,
+                                       fixed)
+        self.seg_state = TrainState.create(
+            apply_fn=self.seg_model.apply, params=seg_vars["params"],
+            batch_stats=seg_vars.get("batch_stats", {}), tx=self.seg_tx)
+        self.reg_state = TrainState.create(
+            apply_fn=self.reg_model.apply, params=reg_vars["params"],
+            batch_stats=reg_vars.get("batch_stats", {}), tx=self.reg_tx)
+
+        n_class = self.config["n_classes"]
+        self.reg_step = make_joint_reg_step(
+            self.sim_loss, self.reg_loss,
+            self.config.get("reg_weight", 1.0),
+            self.config.get("anatomy_weight", 1.0), n_class)
+        self.seg_step = make_joint_seg_step(
+            self.sup_loss, self.config.get("anatomy_weight", 1.0),
+            self.config.get("supervised_weight", 1.0), n_class)
+        self.seg_eval_step = make_seg_eval_step(n_class)
+        self.reg_eval_step = make_reg_eval_step(n_class)
+
+    def _maybe_resume(self):
+        resume_dir = self.config.get("resume_dir")
+        if not resume_dir:
+            return
+        template = {"epoch": 0, "seg_best_score": 0.0, "reg_best_score": 0.0,
+                    "seg_params": self.seg_state.params,
+                    "seg_batch_stats": self.seg_state.batch_stats,
+                    "seg_opt_state": self.seg_state.opt_state,
+                    "reg_params": self.reg_state.params,
+                    "reg_opt_state": self.reg_state.opt_state}
+        restored = load_checkpoint(resume_dir, template)
+        self.seg_state = self.seg_state.replace(
+            params=restored["seg_params"],
+            batch_stats=restored["seg_batch_stats"],
+            opt_state=restored["seg_opt_state"])
+        self.reg_state = self.reg_state.replace(
+            params=restored["reg_params"],
+            opt_state=restored["reg_opt_state"])
+        self.seg_best_score = float(np.asarray(restored["seg_best_score"]))
+        self.reg_best_score = float(np.asarray(restored["reg_best_score"]))
+        self.current_epoch = int(np.asarray(restored["epoch"])) + 1
+
+    # ------------------------------------------------------------- train
+    def train(self):
+        self.setup_train()
+        print("Training {}".format(self.exp_name))
+        self._init_state()
+        self._maybe_resume()
+        self._train_iter = endless(self.training_data_loader)
+        print("Start Training:")
+        for _ in range(self.current_epoch, self.config["n_epochs"] + 1):
+            self.train_one_epoch()
+            self.validate()
+            self.current_epoch += 1
+        self.close()
+        print("Finished Training: {}".format(self.exp_name))
+
+    def _has_label_flags(self, batch):
+        return jnp.asarray([name in self.labeled_names
+                            for name in batch["name"]], dtype=bool)
+
+    def train_one_epoch(self):
+        period = self.config["print_batch_period"]
+        iters = (self.config["samples_per_epoch"]
+                 // self.config["batch_size"])
+        run_reg = {"loss": 0.0, "sim": 0.0, "anatomy": 0.0}
+        run_seg = {"loss": 0.0, "supervised": 0.0, "anatomy": 0.0}
+        for i in range(iters):
+            batch_m, batch_f = next(self._train_iter)
+            args = (jnp.asarray(batch_m["image"]),
+                    jnp.asarray(batch_f["image"]),
+                    jnp.asarray(batch_m["segmentation"].astype(np.int32)),
+                    jnp.asarray(batch_f["segmentation"].astype(np.int32)),
+                    self._has_label_flags(batch_m),
+                    self._has_label_flags(batch_f))
+            # alternate phases (seg on even iterations, reg on odd)
+            if i % 2 == 0:
+                self.seg_state, metrics = self.seg_step(self.seg_state,
+                                                        self.reg_state, *args)
+                for k in run_seg:
+                    run_seg[k] += float(metrics[k])
+            else:
+                self.reg_state, metrics = self.reg_step(self.reg_state,
+                                                        self.seg_state, *args)
+                for k in run_reg:
+                    run_reg[k] += float(metrics[k])
+            self.global_step = ((self.current_epoch - 1) * iters + i + 1) \
+                * self.config["batch_size"]
+            if i % period == period - 1:
+                n = max(period // 2, 1)
+                print("Epoch[{}/{}] iter {} seg_loss {:.4f} reg_loss {:.4f} "
+                      "anat {:.4f} {}".format(
+                          self.current_epoch, self.config["n_epochs"], i + 1,
+                          run_seg["loss"] / n, run_reg["loss"] / n,
+                          run_reg["anatomy"] / n,
+                          datetime.datetime.now().strftime("%D %H:%M:%S")))
+                for k, v in run_seg.items():
+                    self.writer.add_scalar(f"seg/{k}", v / n,
+                                           self.global_step)
+                for k, v in run_reg.items():
+                    self.writer.add_scalar(f"reg/{k}", v / n,
+                                           self.global_step)
+                run_reg = {k: 0.0 for k in run_reg}
+                run_seg = {k: 0.0 for k in run_seg}
+
+    # -------------------------------------------------------------- eval
+    def validate(self):
+        if self.current_epoch % self.config["valid_epoch_period"]:
+            return
+        start = time.time()
+        n_fg = self.config["n_classes"] - 1
+
+        # seg validation
+        dice_sum = np.zeros((n_fg,), np.float64)
+        count = 0
+        for batch in self.validation_seg_loader:
+            dice, _ = self.seg_eval_step(
+                self.seg_state, jnp.asarray(batch["image"]),
+                jnp.asarray(batch["segmentation"].astype(np.int32)))
+            dice_sum += np.asarray(dice, np.float64).sum(axis=0)
+            count += dice.shape[0]
+        seg_dice = float(dice_sum.mean() / max(count, 1)) * 1.0
+        seg_dice = float((dice_sum / max(count, 1)).mean())
+
+        # reg validation
+        dice_sum = np.zeros((n_fg,), np.float64)
+        folding_sum = 0.0
+        count = 0
+        for batch_m, batch_f in self.validation_reg_loader:
+            dice, folding, _ = self.reg_eval_step(
+                self.reg_state, jnp.asarray(batch_m["image"]),
+                jnp.asarray(batch_f["image"]),
+                jnp.asarray(batch_m["segmentation"].astype(np.int32)),
+                jnp.asarray(batch_f["segmentation"].astype(np.int32)))
+            dice_sum += np.asarray(dice, np.float64).sum(axis=0)
+            folding_sum += float(folding)
+            count += dice.shape[0]
+            if count >= self.config.get("max_validation_pairs", 10 ** 9):
+                break
+        reg_dice = float((dice_sum / max(count, 1)).mean())
+
+        new_lr = self.scheduler.step(
+            seg_dice if self.config.get("lr_mode") == "plateau" else None)
+        self.seg_state = set_learning_rate(self.seg_state, new_lr)
+        self.reg_state = set_learning_rate(self.reg_state, new_lr)
+
+        seg_best = seg_dice > self.seg_best_score
+        reg_best = reg_dice > self.reg_best_score
+        if seg_best:
+            self.seg_best_score = seg_dice
+        if reg_best:
+            self.reg_best_score = reg_dice
+
+        data_name = self.config["data"]
+        self.writer.add_scalar(f"validation_{data_name}/seg_dice_avg",
+                               seg_dice, self.global_step)
+        self.writer.add_scalar(f"validation_{data_name}/reg_dice_avg",
+                               reg_dice, self.global_step)
+        self.writer.add_scalar(f"validation_{data_name}/folding_fraction",
+                               folding_sum / max(count, 1), self.global_step)
+        print("Validation: seg dice {:.4f} reg dice {:.4f} ({:.3f} sec) {}"
+              .format(seg_dice, reg_dice, time.time() - start,
+                      datetime.datetime.now().strftime("%D %H:%M:%S")))
+
+        if self.current_epoch % self.config["save_ckpts_epoch_period"] == 0:
+            save_checkpoint(
+                {"epoch": self.current_epoch,
+                 "seg_params": self.seg_state.params,
+                 "seg_batch_stats": self.seg_state.batch_stats,
+                 "seg_opt_state": self.seg_state.opt_state,
+                 "reg_params": self.reg_state.params,
+                 "reg_opt_state": self.reg_state.opt_state,
+                 "seg_best_score": self.seg_best_score,
+                 "reg_best_score": self.reg_best_score},
+                seg_best or reg_best, self.ckpoint_dir)

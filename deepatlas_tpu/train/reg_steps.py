@@ -1,0 +1,181 @@
+"""Jitted steps for registration and joint DeepAtlas training.
+
+Registration (BASELINE.json config 2): one fused program per step —
+VoxelMorph forward, trilinear warp, similarity (LNCC by default) +
+displacement regularizer (bending energy / gradient), backward, Adam update.
+
+Joint DeepAtlas (BASELINE.json config 3; the alternating semi-supervised
+scheme of the MICCAI'19 paper the reference implements): two train states
+(seg net, reg net) updated alternately by two separate jitted programs —
+no recompilation between phases (SURVEY.md §7 hard-parts list).  Missing
+ground-truth labels are substituted on device by the *other* network's
+prediction (``jnp.where`` on a has-label flag), which is what makes the
+scheme semi-supervised.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import soft_dice_on_probs
+from ..metrics import multiclass_dice
+from ..ops import one_hot, grid_sample, warp_labels
+from .steps import TrainState, _apply_model
+
+
+def make_reg_train_step(sim_loss: Callable, reg_loss: Callable,
+                        reg_weight: float):
+    """Returns jitted ``(state, moving, fixed) -> (state, metrics)``."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, moving, fixed):
+        def loss_fn(params):
+            disp, warped, deform = state.apply_fn({"params": params},
+                                                  moving, fixed, train=True)
+            sim = sim_loss(warped.astype(jnp.float32),
+                           fixed.astype(jnp.float32))
+            reg = reg_loss(disp.astype(jnp.float32))
+            return sim + reg_weight * reg, (sim, reg)
+
+        (loss, (sim, reg)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        return state, {"loss": loss, "sim": sim, "reg": reg}
+
+    return train_step
+
+
+def make_reg_eval_step(n_class: int):
+    """Returns jitted ``(state, moving, fixed, moving_seg, fixed_seg) ->
+    (per_class_dice, folding_fraction)``: warp the moving labels with the
+    predicted field (nearest) and dice against the fixed labels on device."""
+    from ..metrics import jacobian_determinant
+
+    @jax.jit
+    def eval_step(state: TrainState, moving, fixed, moving_seg, fixed_seg):
+        disp, warped, deform = state.apply_fn({"params": state.params},
+                                              moving, fixed, train=False)
+        warped_seg = warp_labels(moving_seg.astype(jnp.int32), deform)
+        dice = multiclass_dice(warped_seg, fixed_seg.astype(jnp.int32),
+                               n_class)
+        det = jacobian_determinant(deform)
+        folding = jnp.mean((det <= 0).astype(jnp.float32))
+        return dice, folding, warped
+
+    return eval_step
+
+
+def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
+                        reg_weight: float, anatomy_weight: float,
+                        n_class: int):
+    """Reg-phase step of joint training: updates the reg net against
+    similarity + smoothness + anatomy consistency, with the (frozen) seg net
+    filling in missing labels.
+
+    Signature: (reg_state, seg_state, moving, fixed, moving_seg, fixed_seg,
+    moving_has_label, fixed_has_label) -> (reg_state, metrics)
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(reg_state: TrainState, seg_state: TrainState, moving, fixed,
+             moving_seg, fixed_seg, moving_has_label, fixed_has_label):
+        # frozen seg-net predictions replace missing ground truth
+        seg_logits_m, _ = _apply_model(seg_state, seg_state.params, moving,
+                                       train=False)
+        seg_logits_f, _ = _apply_model(seg_state, seg_state.params, fixed,
+                                       train=False)
+        pred_m = jnp.argmax(seg_logits_m, axis=-1).astype(jnp.int32)
+        pred_f = jnp.argmax(seg_logits_f, axis=-1).astype(jnp.int32)
+        lab_m = jnp.where(moving_has_label[:, None, None, None],
+                          moving_seg.astype(jnp.int32), pred_m)
+        lab_f = jnp.where(fixed_has_label[:, None, None, None],
+                          fixed_seg.astype(jnp.int32), pred_f)
+        onehot_m = one_hot(lab_m, n_class)
+
+        def loss_fn(params):
+            disp, warped, deform = reg_state.apply_fn(
+                {"params": params}, moving, fixed, train=True)
+            sim = sim_loss(warped.astype(jnp.float32),
+                           fixed.astype(jnp.float32))
+            reg = reg_loss(disp.astype(jnp.float32))
+            warped_onehot = grid_sample(onehot_m, deform, mode="trilinear")
+            anat = soft_dice_on_probs(warped_onehot, lab_f, n_class)
+            return sim + reg_weight * reg + anatomy_weight * anat, \
+                (sim, reg, anat)
+
+        (loss, (sim, reg, anat)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(reg_state.params)
+        reg_state = reg_state.apply_gradients(grads)
+        return reg_state, {"loss": loss, "sim": sim, "reg": reg,
+                           "anatomy": anat}
+
+    return step
+
+
+def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
+                        supervised_weight: float, n_class: int):
+    """Seg-phase step of joint training: updates the seg net against the
+    supervised loss (where labels exist) + anatomy consistency through the
+    (frozen) reg net's warp.
+
+    Signature: (seg_state, reg_state, moving, fixed, moving_seg, fixed_seg,
+    moving_has_label, fixed_has_label) -> (seg_state, metrics)
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(seg_state: TrainState, reg_state: TrainState, moving, fixed,
+             moving_seg, fixed_seg, moving_has_label, fixed_has_label):
+        # frozen reg-net deformation
+        disp, warped, deform = reg_state.apply_fn(
+            {"params": reg_state.params}, moving, fixed, train=False)
+        deform = jax.lax.stop_gradient(deform)
+
+        def loss_fn(params):
+            logits_m, new_bn = _apply_model(seg_state, params, moving,
+                                            train=True)
+            logits_f, new_bn2 = _apply_model(
+                seg_state.replace(batch_stats=new_bn), params, fixed,
+                train=True)
+            probs_m = jax.nn.softmax(logits_m.astype(jnp.float32), axis=-1)
+            probs_f = jax.nn.softmax(logits_f.astype(jnp.float32), axis=-1)
+
+            # anatomy: moving anatomy (GT one-hot or predicted probs) warped
+            # onto fixed anatomy (GT labels or predicted probs)
+            onehot_m = one_hot(moving_seg.astype(jnp.int32), n_class)
+            m_probs = jnp.where(
+                moving_has_label[:, None, None, None, None], onehot_m,
+                probs_m)
+            warped_m = grid_sample(m_probs, deform, mode="trilinear")
+            onehot_f = one_hot(fixed_seg.astype(jnp.int32), n_class)
+            f_probs = jnp.where(
+                fixed_has_label[:, None, None, None, None], onehot_f,
+                probs_f)
+            # soft-soft dice over foreground classes
+            inter = jnp.sum(warped_m[..., 1:] * f_probs[..., 1:],
+                            axis=(1, 2, 3))
+            denom = jnp.sum(warped_m[..., 1:], axis=(1, 2, 3)) + \
+                jnp.sum(f_probs[..., 1:], axis=(1, 2, 3))
+            anat = 1.0 - jnp.mean(2.0 * inter / (denom + 1e-5))
+
+            # supervised loss on whichever volumes have labels
+            sup_m = supervised_loss(logits_m.astype(jnp.float32),
+                                    moving_seg.astype(jnp.int32))
+            sup_f = supervised_loss(logits_f.astype(jnp.float32),
+                                    fixed_seg.astype(jnp.int32))
+            any_m = jnp.any(moving_has_label).astype(jnp.float32)
+            any_f = jnp.any(fixed_has_label).astype(jnp.float32)
+            sup = (sup_m * any_m + sup_f * any_f) / jnp.maximum(
+                any_m + any_f, 1.0)
+
+            loss = anatomy_weight * anat + supervised_weight * sup
+            return loss, (new_bn2, anat, sup)
+
+        (loss, (new_bn, anat, sup)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(seg_state.params)
+        seg_state = seg_state.apply_gradients(grads, new_bn)
+        return seg_state, {"loss": loss, "anatomy": anat, "supervised": sup}
+
+    return step

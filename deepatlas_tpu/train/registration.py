@@ -1,0 +1,271 @@
+"""Registration experiment: pairwise deformable registration training.
+
+The capability the reference README promises as ``train_reg.py`` (TODO at
+README.md:15-19) assembled from its building blocks: pairwise reg datasets
+(datasets.py:331-451), VoxelMorph + spatial transformer (voxel_morph.py),
+LNCC similarity + bending-energy/gradient regularization (loss.py:589-730).
+Validation warps the moving labels with the predicted field and reports
+on-device mean foreground dice plus Jacobian folding fraction.
+"""
+from __future__ import annotations
+
+import datetime
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import (Compose, CropVolume, DataLoader, VolumeToArray, endless,
+                    get_reg_dataset)
+from ..losses import get_loss_function
+from ..models import get_network
+from ..utils import visualize
+from .base import BaseExperiment
+from .checkpoint import initialize_from, save_checkpoint
+from .reg_steps import make_reg_eval_step, make_reg_train_step
+from .schedules import make_scheduler
+from .steps import TrainState, make_optimizer, set_learning_rate
+
+
+class RegistrationExperiment(BaseExperiment):
+    def __init__(self, config):
+        super().__init__(config)
+        if self.config.get("debug_mode"):
+            print("Debug mode")
+            self.config["print_batch_period"] = 2
+            self.config["valid_epoch_period"] = 2
+
+        self.exp_name = "Reg_{}_{}_{}epochs_{}_{}_w{}_lr_{}{}".format(
+            self.config["model"],
+            os.path.basename(self.config["data_dir"]),
+            self.config["n_epochs"],
+            self.config["loss"],
+            self.config.get("reg_loss", "bendingEnergy"),
+            self.config.get("reg_weight", 1.0),
+            self.config["learning_rate"],
+            "_scheduler_{}".format(self.config["lr_mode"])
+            if self.config.get("lr_mode", "const") != "const" else "")
+
+        self.ckpoint_dir = os.path.join(
+            self.config["log_dir"],
+            self.exp_name if not self.config.get("debug_mode") else "debug_reg",
+            str(self.config["random_seed"]))
+        print("Init experiment {} seed {}".format(
+            self.exp_name, self.config["random_seed"]))
+        self.best_score = 0.0
+        self.current_epoch = 1
+        self.global_step = 0
+
+    # ------------------------------------------------------------- setup
+    def setup_log(self):
+        os.makedirs(self.ckpoint_dir, exist_ok=True)
+        self.save_config_snapshot(self.ckpoint_dir)
+        from tensorboardX import SummaryWriter
+        self.writer = SummaryWriter(self.ckpoint_dir)
+
+    def _transforms(self):
+        transforms = [VolumeToArray()]
+        if self.config.get("crop_size"):
+            transforms.append(CropVolume(self.config["crop_size"]))
+        return Compose(transforms)
+
+    def setup_train_data(self):
+        print("Initializing dataloader")
+        dataset_cls = get_reg_dataset(self.config["data"])
+        tf = self._transforms()
+        training_data = dataset_cls(
+            self.config["training_list_file"], self.config["data_dir"],
+            with_seg=True, preload=self.config.get("preload", False),
+            pre_transform=tf, n_samples=self.config.get("num_samples"))
+        self.training_data_loader = DataLoader(
+            training_data, batch_size=self.config["batch_size"], shuffle=True,
+            seed=self.config["random_seed"], prefetch=2)
+        validation_data = dataset_cls(
+            self.config["validation_list_file"],
+            self.config.get("valid_data_dir", self.config["data_dir"]),
+            with_seg=True, preload=self.config.get("preload", False),
+            pre_transform=tf)
+        self.validation_data_loader = DataLoader(
+            validation_data, batch_size=1, shuffle=False, prefetch=2)
+
+    def setup_model(self):
+        model_type = get_network(self.config["model"])
+        self.model = model_type(**self.config.get("model_settings", {}))
+
+    def setup_loss(self):
+        self.sim_loss = get_loss_function(self.config["loss"])(
+            **self.config.get("loss_settings", {}))
+        self.reg_loss = get_loss_function(
+            self.config.get("reg_loss", "bendingEnergy"))(
+            **self.config.get("reg_loss_settings", {}))
+
+    def setup_optimizer(self):
+        self.tx = make_optimizer(self.config["learning_rate"])
+        self.scheduler = make_scheduler(
+            self.config.get("lr_mode", "const"),
+            self.config["learning_rate"], self.config["n_epochs"],
+            self.config.get("milestones"), self.config.get("gamma", 0.2),
+            self.config.get("valid_epoch_period", 1))
+
+    def _init_state(self):
+        batch_m, batch_f = next(iter(self.validation_data_loader))
+        moving = jnp.asarray(batch_m["image"][:1])
+        fixed = jnp.asarray(batch_f["image"][:1])
+        variables = self.model.init(jax.random.fold_in(self.root_key, 0),
+                                    moving, fixed)
+        self.state = TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}), tx=self.tx)
+        self.train_step = make_reg_train_step(
+            self.sim_loss, self.reg_loss,
+            self.config.get("reg_weight", 1.0))
+        self.eval_step = make_reg_eval_step(self.config["n_classes"])
+
+    def _maybe_resume(self):
+        resume_dir = self.config.get("resume_dir")
+        if resume_dir:
+            template = {"epoch": 0, "reg_best_score": 0.0,
+                        "params": self.state.params,
+                        "opt_state": self.state.opt_state}
+            restored, finished_epoch, best = initialize_from(resume_dir,
+                                                             template)
+            self.state = self.state.replace(params=restored["params"],
+                                            opt_state=restored["opt_state"])
+            self.best_score = best
+            self.current_epoch = finished_epoch + 1
+
+    # ------------------------------------------------------------- train
+    def train(self):
+        self.setup_train()
+        print("Training {}".format(self.exp_name))
+        self._init_state()
+        self._maybe_resume()
+        self._train_iter = endless(self.training_data_loader)
+        print("Start Training:")
+        for _ in range(self.current_epoch, self.config["n_epochs"] + 1):
+            self.train_one_epoch()
+            self.validate()
+            self.current_epoch += 1
+        self.close()
+        print("Finished Training: {}".format(self.exp_name))
+
+    def train_one_epoch(self):
+        running = {"loss": 0.0, "sim": 0.0, "reg": 0.0}
+        period = self.config["print_batch_period"]
+        iters = (self.config["samples_per_epoch"]
+                 // self.config["batch_size"])
+        for i in range(iters):
+            batch_m, batch_f = next(self._train_iter)
+            moving = jnp.asarray(batch_m["image"])
+            fixed = jnp.asarray(batch_f["image"])
+            self.state, metrics = self.train_step(self.state, moving, fixed)
+            self.global_step = ((self.current_epoch - 1) * iters + i + 1) \
+                * self.config["batch_size"]
+            for k in running:
+                running[k] += float(metrics[k])
+            if i % period == period - 1:
+                n = period if i > 0 else 1
+                print("Epoch[{}/{}] iter {} loss {:.4f} sim {:.4f} reg "
+                      "{:.4f} lr {} {}".format(
+                          self.current_epoch, self.config["n_epochs"], i + 1,
+                          running["loss"] / n, running["sim"] / n,
+                          running["reg"] / n, self.scheduler.lr,
+                          datetime.datetime.now().strftime("%D %H:%M:%S")))
+                self.writer.add_scalar("loss/training",
+                                       running["loss"] / n, self.global_step)
+                self.writer.add_scalar("loss/similarity",
+                                       running["sim"] / n, self.global_step)
+                self.writer.add_scalar("loss/regularization",
+                                       running["reg"] / n, self.global_step)
+                self.writer.add_scalar("learning_rate", self.scheduler.lr,
+                                       self.global_step)
+                running = {k: 0.0 for k in running}
+
+    # -------------------------------------------------------------- eval
+    def eval(self, dataloader, max_pairs: int = None):
+        n_fg = self.config["n_classes"] - 1
+        dice_sum = np.zeros((n_fg,), np.float64)
+        folding_sum = 0.0
+        count = 0
+        vis_sample = None
+        for batch_m, batch_f in dataloader:
+            moving = jnp.asarray(batch_m["image"])
+            fixed = jnp.asarray(batch_f["image"])
+            mseg = jnp.asarray(batch_m["segmentation"].astype(np.int32))
+            fseg = jnp.asarray(batch_f["segmentation"].astype(np.int32))
+            dice, folding, warped = self.eval_step(self.state, moving, fixed,
+                                                   mseg, fseg)
+            dice_sum += np.asarray(dice, np.float64).sum(axis=0)
+            folding_sum += float(folding)
+            count += dice.shape[0]
+            vis_sample = (batch_m, batch_f, np.asarray(warped))
+            if max_pairs and count >= max_pairs:
+                break
+        dice_per_class = dice_sum / max(count, 1)
+        return (dice_per_class, float(dice_per_class.mean()),
+                folding_sum / max(count, 1), vis_sample)
+
+    def validate(self):
+        if self.current_epoch % self.config["valid_epoch_period"]:
+            return
+        start = time.time()
+        dice_per_class, dice_avg, folding, _ = self.eval(
+            self.validation_data_loader,
+            max_pairs=self.config.get("max_validation_pairs"))
+        new_lr = self.scheduler.step(
+            dice_avg if self.config.get("lr_mode") == "plateau" else None)
+        self.state = set_learning_rate(self.state, new_lr)
+
+        is_best = dice_avg > self.best_score
+        if is_best:
+            self.best_score = dice_avg
+        data_name = self.config["data"]
+        self.writer.add_scalar(f"validation_{data_name}/dice_avg", dice_avg,
+                               self.global_step)
+        self.writer.add_scalar(f"validation_{data_name}/folding_fraction",
+                               folding, self.global_step)
+        print("Validation: Dice Avg: {:.4f} folding {:.5f} ({:.3f} sec) {}"
+              .format(dice_avg, folding, time.time() - start,
+                      datetime.datetime.now().strftime("%D %H:%M:%S")))
+        if self.current_epoch % self.config["save_ckpts_epoch_period"] == 0:
+            save_checkpoint({"epoch": self.current_epoch,
+                             "params": self.state.params,
+                             "opt_state": self.state.opt_state,
+                             "reg_best_score": self.best_score},
+                            is_best, self.ckpoint_dir)
+
+    # -------------------------------------------------------------- test
+    def test(self, best: bool = True, if_log: bool = True):
+        self.setup_random_seed()
+        self.setup_model()
+        self.setup_loss()
+        self.setup_optimizer()
+        dataset_cls = get_reg_dataset(self.config["data"])
+        testing_data = dataset_cls(
+            self.config["testing_list_file"], self.config["data_dir"],
+            with_seg=True, preload=False, pre_transform=self._transforms())
+        self.validation_data_loader = DataLoader(testing_data, batch_size=1,
+                                                 shuffle=False, prefetch=2)
+        self._init_state()
+        ckpoint_file = os.path.join(
+            self.ckpoint_dir, "model_best" if best else "checkpoint")
+        template = {"epoch": 0, "reg_best_score": 0.0,
+                    "params": self.state.params,
+                    "opt_state": self.state.opt_state}
+        restored, last_epoch, _ = initialize_from(ckpoint_file, template)
+        self.state = self.state.replace(params=restored["params"])
+        dice_per_class, dice_avg, folding, _ = self.eval(
+            self.validation_data_loader,
+            max_pairs=self.config.get("max_validation_pairs"))
+        if if_log:
+            logging.basicConfig(
+                filename=os.path.join(self.ckpoint_dir, "test_log.txt"),
+                level=logging.DEBUG)
+            logging.getLogger().addHandler(logging.StreamHandler())
+            logging.info("Testing Model: %s (%s epochs)", ckpoint_file,
+                         last_epoch)
+            logging.info("Dice_avg: %s folding: %s", dice_avg, folding)
+        return dice_per_class, dice_avg, folding

@@ -1,0 +1,7 @@
+"""Utilities: config persistence, visualization, logging."""
+from .config import (ParameterDict, load_jason_to_dict, load_json_to_dict,
+                     save_dict_to_json)
+from . import visualize
+
+__all__ = ["ParameterDict", "save_dict_to_json", "load_json_to_dict",
+           "load_jason_to_dict", "visualize"]

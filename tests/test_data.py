@@ -1,0 +1,287 @@
+"""Data-layer tests: NIfTI round-trip, dataset semantics (n_samples, pair
+math), transforms (crop/partition/assemble), loader batching, device
+augmentation sanity."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepatlas_tpu.data import (BalancedRandomCrop, Compose, CropVolume,
+                                DataLoader, LeftToRight, NiftiImage,
+                                Partition, RandomCrop,
+                                SegmentationLabelFilter, VolumeToArray,
+                                augment, get_reg_dataset, get_seg_dataset,
+                                read_nifti, write_nifti)
+from deepatlas_tpu.data.datasets import _RegPairMixin, _filter_lines
+
+
+# ---------------------------------------------------------------- nifti
+
+class TestNifti:
+    @pytest.mark.parametrize("suffix", [".nii", ".nii.gz"])
+    @pytest.mark.parametrize("dtype", [np.float32, np.uint8, np.int16])
+    def test_roundtrip(self, tmp_path, rng, suffix, dtype):
+        data = (rng.rand(5, 6, 7) * 100).astype(dtype)
+        img = NiftiImage(data=data, spacing=(1.5, 2.0, 2.5))
+        path = tmp_path / f"vol{suffix}"
+        write_nifti(path, img)
+        back = read_nifti(path)
+        np.testing.assert_array_equal(back.data, data)
+        np.testing.assert_allclose(back.spacing, (1.5, 2.0, 2.5))
+
+    def test_copy_information(self, tmp_path, rng):
+        src = NiftiImage(data=rng.rand(4, 4, 4).astype(np.float32),
+                         spacing=(2.0, 2.0, 2.0))
+        seg = NiftiImage(data=np.zeros((4, 4, 4), np.uint8))
+        seg.copy_information(src)
+        assert seg.spacing == (2.0, 2.0, 2.0)
+
+
+# ---------------------------------------------------------------- datasets
+
+def make_corpus(tmp_path, n=4, shape=(6, 7, 8)):
+    """Tiny synthetic MindBoggle-style corpus + list file."""
+    rng = np.random.RandomState(1)
+    img_dir = tmp_path / "image_in_MNI152_normalized"
+    seg_dir = tmp_path / "label_31_reID_merged"
+    img_dir.mkdir(exist_ok=True)
+    seg_dir.mkdir(exist_ok=True)
+    names = [f"scan{i}" for i in range(n)]
+    for name in names:
+        write_nifti(img_dir / f"{name}.nii.gz",
+                    NiftiImage(rng.rand(*shape).astype(np.float32)))
+        write_nifti(seg_dir / f"{name}.nii.gz",
+                    NiftiImage(rng.randint(0, 4, shape).astype(np.uint8)))
+    list_file = tmp_path / "train.txt"
+    list_file.write_text("".join(f"{n}\n" for n in names))
+    return list_file, names
+
+
+class TestDatasets:
+    def test_n_samples_semantics(self):
+        lines = [f"s{i}\n" for i in range(10)]
+        assert _filter_lines(lines, None) == [f"s{i}" for i in range(10)]
+        assert _filter_lines(lines, 3) == ["s0", "s1", "s2"]
+        assert _filter_lines(lines, [1, 4, 7]) == ["s1", "s4", "s7"]
+        with pytest.raises(TypeError):
+            _filter_lines(lines, 2.5)
+
+    def test_seg_dataset_load(self, tmp_path):
+        list_file, names = make_corpus(tmp_path)
+        ds = get_seg_dataset("MindBoggle")(
+            str(list_file), str(tmp_path), with_seg=True, preload=False,
+            pre_transform=VolumeToArray())
+        assert len(ds) == 4
+        s = ds[0]
+        assert s["image"].shape == (6, 7, 8, 1)
+        assert s["image"].dtype == np.float32
+        assert s["segmentation"].shape == (6, 7, 8)
+        assert s["name"] == names[0]
+
+    def test_preload_equals_lazy(self, tmp_path):
+        list_file, _ = make_corpus(tmp_path)
+        cls = get_seg_dataset("MindBoggle")
+        lazy = cls(str(list_file), str(tmp_path), pre_transform=VolumeToArray())
+        pre = cls(str(list_file), str(tmp_path), pre_transform=VolumeToArray(),
+                  preload=True)
+        np.testing.assert_array_equal(lazy[2]["image"], pre[2]["image"])
+
+    def test_missing_file_raises(self, tmp_path):
+        list_file, _ = make_corpus(tmp_path)
+        list_file.write_text("missing_scan\n")
+        ds = get_seg_dataset("MindBoggle")(str(list_file), str(tmp_path))
+        with pytest.raises(ValueError, match="not exist"):
+            ds[0]
+
+    def test_reg_pair_math(self):
+        """id -> (moving, fixed) ordered-pair math skipping self-pairs
+        (datasets.py:378-390): all N*(N-1) pairs hit exactly once."""
+        n = 5
+        pairs = set()
+        for pid in range(n * (n - 1)):
+            m, f = _RegPairMixin.pair_indices(pid, n)
+            assert m != f
+            pairs.add((m, f))
+        assert len(pairs) == n * (n - 1)
+
+    def test_reg_dataset_returns_pairs(self, tmp_path):
+        list_file, _ = make_corpus(tmp_path, n=3)
+        ds = get_reg_dataset("MindBoggle")(
+            str(list_file), str(tmp_path), pre_transform=VolumeToArray())
+        assert len(ds) == 6
+        moving, fixed = ds[0]
+        assert moving["name"] != fixed["name"]
+
+    def test_factories_reject_unknown(self):
+        with pytest.raises(ValueError):
+            get_seg_dataset("nope")
+        with pytest.raises(ValueError):
+            get_reg_dataset("nope")
+
+
+# ---------------------------------------------------------------- transforms
+
+class TestTransforms:
+    def test_volume_to_array_clamps(self, rng):
+        img = NiftiImage((rng.rand(4, 5, 6) * 3 - 1).astype(np.float32))
+        s = VolumeToArray()({"image": img, "name": "x"})
+        assert s["image"].min() >= 0.0 and s["image"].max() <= 1.0
+
+    def test_crop_symmetric_and_asymmetric(self, rng):
+        img = rng.rand(10, 12, 14, 1).astype(np.float32)
+        seg = rng.randint(0, 2, (10, 12, 14)).astype(np.uint8)
+        s = CropVolume([1, 2, 3])({"image": img.copy(),
+                                   "segmentation": seg.copy()})
+        assert s["image"].shape == (8, 8, 8, 1)
+        assert s["segmentation"].shape == (8, 8, 8)
+        # the MB101 asymmetric crop (train_seg.py:51)
+        s = CropVolume([0, 1, 2, 3, 4, 5])({"image": img.copy(),
+                                            "segmentation": seg.copy()})
+        assert s["image"].shape == (10 - 3, 12 - 5, 14 - 7, 1)
+        np.testing.assert_array_equal(s["image"][..., 0], img[0:7, 1:8, 2:9, 0])
+
+    def test_left_to_right(self, rng):
+        img = rng.rand(4, 5, 6, 1).astype(np.float32)
+        s = LeftToRight()({"image": img.copy(), "segmentation": None,
+                           "name": "9000099_LEFT"})
+        np.testing.assert_array_equal(s["image"], img[::-1])
+        s2 = LeftToRight()({"image": img.copy(), "segmentation": None,
+                            "name": "9000099_RIGHT"})
+        np.testing.assert_array_equal(s2["image"], img)
+
+    def test_label_filter(self):
+        seg = np.array([[0, 1, 2, 3, 4]], dtype=np.uint8)
+        s = SegmentationLabelFilter([2, 4])({"segmentation": seg})
+        np.testing.assert_array_equal(s["segmentation"], [[0, 1, 0, 3, 0]])
+
+    def test_random_crop_shape_and_threshold(self, rng):
+        img = rng.rand(16, 16, 16, 1).astype(np.float32)
+        seg = np.zeros((16, 16, 16), np.uint8)
+        seg[8:, 8:, 8:] = 1
+        rc = RandomCrop((8, 8, 8), threshold=0.2,
+                        random_state=np.random.RandomState(0))
+        s = rc({"image": img, "segmentation": seg})
+        assert s["image"].shape == (8, 8, 8, 1)
+        assert s["segmentation"].mean() > 0.2
+
+    def test_balanced_random_crop_cycles(self, rng):
+        img = rng.rand(12, 12, 12, 1).astype(np.float32)
+        seg = rng.randint(0, 3, (12, 12, 12)).astype(np.uint8)
+        rc = BalancedRandomCrop((6, 6, 6), threshold=0.01, n_classes=3,
+                                random_state=np.random.RandomState(0))
+        classes = [rc({"image": img, "segmentation": seg})["class"]
+                   for _ in range(5)]
+        assert classes == [2, 3, 0, 1, 2]
+
+    def test_partition_assemble_roundtrip_center(self, rng):
+        """Tiling then center-stitching a *label* volume must reproduce it
+        exactly (the overlap-tile guarantee, transforms.py:589-633)."""
+        seg = rng.randint(0, 5, (20, 23, 17)).astype(np.uint8)
+        img = rng.rand(20, 23, 17).astype(np.float32)
+        part = Partition(tile_size=(12, 12, 12), overlap_size=(2, 2, 2),
+                         mode="eval")
+        s = part({"image": img, "segmentation": seg, "name": "t"})
+        tiles = s["segmentation"]
+        assert s["image"].ndim == 5  # (N, d, h, w, 1)
+        out = part.assemble(tiles)
+        np.testing.assert_array_equal(out, seg)
+
+    def test_partition_assemble_vote(self, rng):
+        seg = rng.randint(0, 3, (14, 15, 16)).astype(np.uint8)
+        img = rng.rand(14, 15, 16).astype(np.float32)
+        part = Partition(tile_size=(10, 10, 10), overlap_size=(2, 2, 2),
+                         mode="eval")
+        s = part({"image": img, "segmentation": seg, "name": "t"})
+        out = part.assemble(s["segmentation"], is_vote=True)
+        # voting over identical tiles of the truth reproduces the truth
+        np.testing.assert_array_equal(out, seg)
+
+
+# ---------------------------------------------------------------- loader
+
+class TestLoader:
+    class _ToyDataset:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {"image": np.full((2, 2, 2, 1), float(i), np.float32),
+                    "name": f"s{i}"}
+
+    def test_batching(self):
+        dl = DataLoader(self._ToyDataset(7), batch_size=2, shuffle=False)
+        batches = list(dl)
+        assert len(batches) == 3
+        assert batches[0]["image"].shape == (2, 2, 2, 2, 1)
+        assert batches[0]["name"] == ["s0", "s1"]
+
+    def test_shuffle_deterministic_by_seed(self):
+        a = [b["name"] for b in DataLoader(self._ToyDataset(8), 2,
+                                           shuffle=True, seed=3)]
+        b = [b["name"] for b in DataLoader(self._ToyDataset(8), 2,
+                                           shuffle=True, seed=3)]
+        assert a == b
+
+    def test_prefetch_matches_sync(self):
+        sync = [b["image"].sum() for b in
+                DataLoader(self._ToyDataset(6), 2, prefetch=0)]
+        pre = [b["image"].sum() for b in
+               DataLoader(self._ToyDataset(6), 2, prefetch=2)]
+        assert sync == pre
+
+    def test_loader_error_propagates(self):
+        class Bad(self._ToyDataset):
+            def __getitem__(self, i):
+                raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError, match="boom"):
+            list(DataLoader(Bad(4), 2, prefetch=2))
+
+
+# ---------------------------------------------------------------- augment
+
+class TestAugment:
+    def test_bspline_zero_ratio_is_identity(self, rng):
+        img = jnp.asarray(rng.rand(8, 9, 10, 1).astype(np.float32))
+        seg = jnp.asarray(rng.randint(0, 3, (8, 9, 10)).astype(np.int32))
+        out_img, out_seg = augment.random_bspline_warp(
+            jax.random.PRNGKey(0), img, seg, deform_scale=2.0, ratio=0.0)
+        np.testing.assert_allclose(np.asarray(out_img), np.asarray(img),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(out_seg), np.asarray(seg))
+
+    def test_bspline_warp_changes_image(self, rng):
+        img = jnp.asarray(rng.rand(8, 9, 10, 1).astype(np.float32))
+        out_img, _ = augment.random_bspline_warp(
+            jax.random.PRNGKey(0), img, None, deform_scale=3.0, ratio=1.0)
+        assert np.abs(np.asarray(out_img) - np.asarray(img)).max() > 1e-3
+
+    def test_rigid_zero_params_is_identity(self, rng):
+        img = jnp.asarray(rng.rand(8, 8, 8, 1).astype(np.float32))
+        out_img, _ = augment.random_rigid_warp(jax.random.PRNGKey(1), img)
+        np.testing.assert_allclose(np.asarray(out_img), np.asarray(img),
+                                   atol=1e-4)
+
+    def test_rigid_seg_mode_keeps_image(self, rng):
+        img = jnp.asarray(rng.rand(8, 8, 8, 1).astype(np.float32))
+        seg = jnp.asarray(rng.randint(0, 2, (8, 8, 8)).astype(np.int32))
+        out_img, out_seg = augment.random_rigid_warp(
+            jax.random.PRNGKey(2), img, seg, rotation_angles=(10, 10, 10),
+            mode="img")
+        np.testing.assert_array_equal(np.asarray(out_seg), np.asarray(seg))
+
+    def test_gaussian_blur_preserves_constant(self):
+        img = jnp.ones((6, 6, 6, 1), jnp.float32) * 0.5
+        out = augment.gaussian_blur(img, sigma=1.0)
+        np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-5)
+
+    def test_gaussian_blur_smooths(self, rng):
+        img = jnp.asarray(rng.rand(10, 10, 10, 1).astype(np.float32))
+        out = np.asarray(augment.gaussian_blur(img, sigma=1.0))
+        assert out.std() < np.asarray(img).std()

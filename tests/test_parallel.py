@@ -1,0 +1,131 @@
+"""Mesh / data-parallel tests on the virtual 8-device CPU mesh
+(SURVEY.md §4d): DP gradients equal single-device gradients on the merged
+batch; DP eval equals global confusion dice; batch sharding layouts."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepatlas_tpu.losses import get_loss_function
+from deepatlas_tpu.metrics import multiclass_dice
+from deepatlas_tpu.models import UNetTemplate, VoxelMorphCVPR2018
+from deepatlas_tpu.parallel import (make_dp_reg_train_step,
+                                    make_dp_seg_eval_step,
+                                    make_dp_seg_train_step, make_mesh,
+                                    replicate, shard_batch)
+from deepatlas_tpu.train import (TrainState, make_optimizer,
+                                 make_seg_train_step)
+
+N_CLASSES = 3
+
+
+def tiny_seg_model():
+    return UNetTemplate(encoders=((2, 4), (4, 4)), decoders=((4, 4, 4),),
+                        in_channel=1, n_classes=N_CLASSES, bias=True,
+                        BN=True, act="LeakyReLU")
+
+
+def make_state(model, example, key=0, **init_kw):
+    variables = model.init(jax.random.PRNGKey(key), *example, **init_kw)
+    return TrainState.create(apply_fn=model.apply,
+                             params=variables["params"],
+                             batch_stats=variables.get("batch_stats", {}),
+                             tx=make_optimizer(1e-3))
+
+
+class TestMesh:
+    def test_eight_virtual_devices(self):
+        assert jax.device_count() >= 8
+
+    def test_make_mesh(self):
+        mesh = make_mesh(8)
+        assert mesh.shape == {"data": 8}
+
+    def test_mesh_too_many_devices(self):
+        with pytest.raises(ValueError):
+            make_mesh(10 ** 6)
+
+
+class TestDPSeg:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        rng = np.random.RandomState(0)
+        model = tiny_seg_model()
+        images = rng.rand(8, 8, 8, 8, 1).astype(np.float32)
+        labels = rng.randint(0, N_CLASSES, (8, 8, 8, 8)).astype(np.int32)
+        state = make_state(model, (jnp.asarray(images[:1]),), train=False)
+        criterion = get_loss_function("dice")(n_class=N_CLASSES,
+                                              weight_type="Uniform",
+                                              softmax=True)
+        return model, state, criterion, images, labels
+
+    def test_dp_matches_single_device_step(self, setup):
+        """One DP step over 8 shards == one single-device step on the full
+        batch (same pmean-of-grads math)."""
+        model, state, criterion, images, labels = setup
+        mesh = make_mesh(8)
+
+        dp_step = make_dp_seg_train_step(criterion, mesh)
+        dp_state = replicate(state, mesh)
+        dp_state = dp_state.replace(opt_state=state.opt_state)
+        batch = shard_batch({"image": images, "seg": labels}, mesh)
+        dp_state, dp_loss = dp_step(dp_state, batch["image"], batch["seg"])
+
+        single_step = make_seg_train_step(criterion)
+        ref_state, ref_loss, _ = single_step(
+            make_state(model, (jnp.asarray(images[:1]),), train=False),
+            jnp.asarray(images), jnp.asarray(labels))
+
+        # losses: DP loss is the pmean of 8 shard losses; the single-device
+        # loss is over the merged batch — for a batch-mean loss these agree
+        np.testing.assert_allclose(float(dp_loss), float(ref_loss), rtol=2e-2)
+        # params after one step agree closely (grads differ only by the
+        # mean-of-shard-means vs global-mean weighting of this loss)
+        dp_flat = jax.tree_util.tree_leaves(dp_state.params)
+        ref_flat = jax.tree_util.tree_leaves(ref_state.params)
+        for a, b in zip(dp_flat, ref_flat):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3)
+
+    def test_dp_eval_matches_global_confusion(self, setup):
+        model, state, criterion, images, labels = setup
+        mesh = make_mesh(8)
+        eval_step = make_dp_seg_eval_step(N_CLASSES, mesh)
+        dp_state = replicate(state, mesh)
+        batch = shard_batch({"image": images, "seg": labels}, mesh)
+        dp_dice = np.asarray(eval_step(dp_state, batch["image"],
+                                       batch["seg"]))
+
+        # reference: merge the batch into ONE confusion matrix
+        logits = model.apply({"params": state.params,
+                              "batch_stats": state.batch_stats},
+                             jnp.asarray(images), train=False)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        ref = np.asarray(multiclass_dice(
+            preds.reshape(1, -1, 8, 8), jnp.asarray(labels).reshape(1, -1, 8, 8),
+            N_CLASSES))[0]
+        np.testing.assert_allclose(dp_dice, ref, atol=1e-5)
+
+
+class TestDPReg:
+    def test_dp_reg_step_runs_and_reduces(self):
+        rng = np.random.RandomState(0)
+        mesh = make_mesh(8)
+        model = VoxelMorphCVPR2018(enc_filters=(2, 4, 4, 4, 4),
+                                   dec_filters=(4, 4, 4, 2, 2))
+        moving = rng.rand(8, 8, 8, 8, 1).astype(np.float32)
+        fixed = rng.rand(8, 8, 8, 8, 1).astype(np.float32)
+        state = make_state(model, (jnp.asarray(moving[:1]),
+                                   jnp.asarray(fixed[:1])))
+        sim = get_loss_function("lncc")(filter_size=5)
+        reg = get_loss_function("bendingEnergy")()
+        step = make_dp_reg_train_step(sim, reg, 0.5, mesh)
+        dp_state = replicate(state, mesh)
+        batch = shard_batch({"m": moving, "f": fixed}, mesh)
+        new_state, loss = step(dp_state, batch["m"], batch["f"])
+        assert np.isfinite(float(loss))
+        # params actually changed
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(new_state.params)[0]
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Joint DeepAtlas training: alternating semi-supervised seg + reg.
+
+The headline driver the reference README lists as TODO (README.md:19),
+implementing the MICCAI'19 DeepAtlas scheme with the reference's building
+blocks: UNet_light segmentation, VoxelMorph registration, LNCC similarity,
+bending-energy smoothness, and the anatomy (dice) loss coupling the two
+networks — with only ``--n-labeled`` volumes keeping their ground-truth
+segmentations.
+"""
+import argparse
+import os
+
+from deepatlas_tpu.train import DeepAtlasExperiment
+
+
+def build_config(args) -> dict:
+    n_classes = 32
+    config = dict(
+        debug_mode=args.debug,
+        resume_dir="",
+        random_seed=230,
+        data="MindBoggle",
+        n_epochs=args.num_epochs,
+        samples_per_epoch=args.num_samples * 2,
+        batch_size=1,
+        print_batch_period=50,
+        valid_epoch_period=1,
+        save_ckpts_epoch_period=1,
+
+        seg_model="UNet_light",
+        seg_model_settings={"in_channel": 1, "n_classes": n_classes,
+                            "bias": True, "BN": True},
+        reg_model="voxel_morph_cvpr",
+        reg_model_settings={},
+        n_classes=n_classes,
+        n_labeled=args.n_labeled,
+
+        crop_size=[0, 10, 7, 14, 8, 7],
+
+        sim_loss="lncc",
+        sim_loss_settings={"filter_size": 9},
+        reg_loss="bendingEnergy",
+        reg_loss_settings={},
+        seg_loss="dice",
+        seg_loss_settings={"n_class": n_classes, "weight_type": "Uniform",
+                           "no_bg": False, "softmax": True, "eps": 1e-6},
+        reg_weight=args.reg_weight,
+        anatomy_weight=args.anatomy_weight,
+        supervised_weight=args.supervised_weight,
+        max_validation_pairs=args.max_validation_pairs,
+
+        learning_rate=args.lr,
+        lr_mode="multiStep",
+        milestones=[0.5, 1],
+        gamma=0.2,
+    )
+    config.update(vars(args))
+
+    train_set = ("MMRR-21", "HLN-12", "NKI-TRT-12", "OASIS-TRT-20")
+    test_set = "NKI-RS-21"
+    if config["num_samples"] == 21:
+        train_lists = [f + "-flip" for f in train_set[0:1]]
+    elif config["num_samples"] == 65:
+        train_lists = [f + "-flip" for f in train_set]
+    else:
+        raise ValueError("num-samples has to be 21 or 65 for mindboggle "
+                         "data but got {}".format(config["num_samples"]))
+
+    config["data_dir"] = os.path.join(args.data_root, "mindboggle")
+    config["valid_data_dir"] = os.path.join(args.data_root, "mindboggle")
+    config["training_list_file"] = tuple(
+        os.path.join(args.data_root, "mindboggle/{}.txt".format(f))
+        for f in train_lists)
+    config["validation_list_file"] = os.path.join(
+        args.data_root, "mindboggle/{}-valid.txt".format(test_set))
+    config["testing_list_file"] = os.path.join(
+        args.data_root, "mindboggle/NKI-RS-21-train.txt")
+    config["log_dir"] = "./{}/{}".format(args.log_root, config["data"])
+    return config
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--device", "-g", default="0", type=str)
+    parser.add_argument("--debug", "-d", action="store_true")
+    parser.add_argument("--preload", "-load", action="store_true")
+    parser.add_argument("--num-samples", "-ns", default=21, type=int)
+    parser.add_argument("--num-epochs", "-ne", default=100, type=int)
+    parser.add_argument("--n-labeled", "-nl", default=1, type=int,
+                        help="number of training volumes that keep their "
+                             "ground-truth labels (semi-supervision)")
+    parser.add_argument("--lr", default=1e-3, type=float)
+    parser.add_argument("--reg-weight", default=1.0, type=float)
+    parser.add_argument("--anatomy-weight", default=3.0, type=float)
+    parser.add_argument("--supervised-weight", default=1.0, type=float)
+    parser.add_argument("--max-validation-pairs", default=20, type=int)
+    parser.add_argument("--data-root", "-root", default="./data", type=str)
+    parser.add_argument("--log-root", "-log", default="./logs", type=str)
+    args = parser.parse_args()
+
+    config = build_config(args)
+    exp = DeepAtlasExperiment(config)
+    exp.train()
+
+
+if __name__ == "__main__":
+    main()
