@@ -11,7 +11,7 @@ modules.py:60) and unused; we implement a real residual add, off by default.
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple, Union
+from typing import Any, Callable, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -34,7 +34,11 @@ def get_activation(act: Union[str, Callable]) -> Callable:
 
 
 class ConvBlock(nn.Module):
-    """Conv3d(k, stride, padding) + optional BatchNorm + activation."""
+    """Conv3d(k, stride, padding) + optional BatchNorm + activation.
+
+    ``dtype`` is the compute dtype (params stay float32): bfloat16 feeds the
+    MXU at full rate and halves activation memory on TPU.
+    """
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -43,17 +47,18 @@ class ConvBlock(nn.Module):
     batchnorm: bool = False
     act: str = "ReLU"
     residual: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         y = nn.Conv(self.features, (self.kernel_size,) * 3,
                     strides=(self.stride,) * 3,
                     padding=[(self.padding, self.padding)] * 3,
-                    use_bias=self.use_bias,
+                    use_bias=self.use_bias, dtype=self.dtype,
                     kernel_init=conv_kernel_init)(x)
         if self.batchnorm:
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5)(y)
+                             epsilon=1e-5, dtype=self.dtype)(y)
         y = get_activation(self.act)(y)
         if self.residual:
             y = y + x
@@ -72,18 +77,19 @@ class DeconvBlock(nn.Module):
     use_bias: bool = True
     batchnorm: bool = False
     act: str = "ReLU"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         y = nn.ConvTranspose(self.features, (self.kernel_size,) * 3,
                              strides=(self.stride,) * 3,
                              padding="VALID",
-                             use_bias=self.use_bias,
+                             use_bias=self.use_bias, dtype=self.dtype,
                              transpose_kernel=True,
                              kernel_init=conv_kernel_init)(x)
         if self.batchnorm:
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5)(y)
+                             epsilon=1e-5, dtype=self.dtype)(y)
         y = get_activation(self.act)(y)
         return y
 

@@ -16,12 +16,19 @@ Inputs are channel-last ``(B, D, H, W, C)``; outputs are raw logits
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import ConvBlock, DeconvBlock, conv_kernel_init, max_pool_3d
+
+
+def _maybe_remat(cls, enabled: bool):
+    """Per-block rematerialization: with ``enabled`` the backward pass
+    recomputes each block's BN/activation internals instead of storing them
+    (SURVEY.md §7: 3D convs at 200^3 need remat to fit one chip's HBM)."""
+    return nn.remat(cls, static_argnums=(2,)) if enabled else cls
 
 
 class UNet(nn.Module):
@@ -30,20 +37,25 @@ class UNet(nn.Module):
     n_classes: int = 2
     bias: bool = False
     BN: bool = False
+    dtype: Any = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        CB = _maybe_remat(ConvBlock, self.remat)
+        DB = _maybe_remat(DeconvBlock, self.remat)
+
         def enc(features, h):
-            return ConvBlock(features, 3, 1, 1, use_bias=self.bias,
-                             batchnorm=self.BN, act="ReLU")(h, train)
+            return CB(features, 3, 1, 1, use_bias=self.bias,
+                      batchnorm=self.BN, act="ReLU", dtype=self.dtype)(h, train)
 
         def dec_conv(features, h):
-            return ConvBlock(features, 3, 1, 1, use_bias=self.bias,
-                             batchnorm=self.BN, act="ReLU")(h, train)
+            return CB(features, 3, 1, 1, use_bias=self.bias,
+                      batchnorm=self.BN, act="ReLU", dtype=self.dtype)(h, train)
 
         def dec_up(features, h):
-            return DeconvBlock(features, 2, 2, use_bias=self.bias,
-                               batchnorm=self.BN, act="ReLU")(h, train)
+            return DB(features, 2, 2, use_bias=self.bias,
+                      batchnorm=self.BN, act="ReLU", dtype=self.dtype)(h, train)
 
         e0 = enc(32, x)
         syn0 = enc(64, e0)
@@ -67,7 +79,7 @@ class UNet(nn.Module):
         d2 = dec_conv(64, d3)
         d1 = dec_conv(64, d2)
         d0 = nn.Conv(self.n_classes, (1, 1, 1), use_bias=self.bias,
-                     kernel_init=conv_kernel_init)(d1)
+                     dtype=self.dtype, kernel_init=conv_kernel_init)(d1)
         return d0
 
 
@@ -90,9 +102,13 @@ class UNetTemplate(nn.Module):
     maxpool: bool = True
     upsample: bool = False
     res: bool = False
+    dtype: Any = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        CB = _maybe_remat(ConvBlock, self.remat)
+        DB = _maybe_remat(DeconvBlock, self.remat)
         levels = len(self.encoders)
         skips = []
 
@@ -102,8 +118,9 @@ class UNetTemplate(nn.Module):
             h = x
             chain = enc_plan if i == 0 else enc_plan[1:]
             for features in chain:
-                h = ConvBlock(features, 3, 1, 1, use_bias=self.bias,
-                              batchnorm=self.BN, act=self.act)(h, train)
+                h = CB(features, 3, 1, 1, use_bias=self.bias,
+                       batchnorm=self.BN, act=self.act,
+                       dtype=self.dtype)(h, train)
             if self.res:
                 h = h + x
             if i < levels - 1:
@@ -113,7 +130,7 @@ class UNetTemplate(nn.Module):
                 else:
                     x = nn.Conv(self.encoders[i + 1][0], (2, 2, 2),
                                 strides=(2, 2, 2), padding="VALID",
-                                use_bias=self.bias,
+                                use_bias=self.bias, dtype=self.dtype,
                                 kernel_init=conv_kernel_init)(h)
             else:
                 x = h
@@ -125,17 +142,19 @@ class UNetTemplate(nn.Module):
                 up_shape = tuple(2 * s for s in x.shape[1:4])
                 x = trilinear_resize(x, up_shape, align_corners=False)
             else:
-                x = DeconvBlock(dec_plan[0], 2, 2, use_bias=self.bias,
-                                batchnorm=self.BN, act=self.act)(x, train)
+                x = DB(dec_plan[0], 2, 2, use_bias=self.bias,
+                       batchnorm=self.BN, act=self.act,
+                       dtype=self.dtype)(x, train)
             skip = skips.pop()
             h = jnp.concatenate([x, skip], axis=-1)
             for features in dec_plan[1:]:
-                h = ConvBlock(features, 3, 1, 1, use_bias=self.bias,
-                              batchnorm=self.BN, act=self.act)(h, train)
+                h = CB(features, 3, 1, 1, use_bias=self.bias,
+                       batchnorm=self.BN, act=self.act,
+                       dtype=self.dtype)(h, train)
             if self.res:
                 h = h + x
             x = h
             if j == len(self.decoders) - 1:
                 x = nn.Conv(self.n_classes, (1, 1, 1), use_bias=self.bias,
-                            kernel_init=conv_kernel_init)(x)
+                            dtype=self.dtype, kernel_init=conv_kernel_init)(x)
         return x

@@ -14,13 +14,14 @@ identical semantics to the reference's permuted grid.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import grid_sample, identity_grid_batch, nearest_resize
 from .layers import ConvBlock, conv_kernel_init
+from .unet import _maybe_remat
 
 
 class VoxelMorphCVPR2018(nn.Module):
@@ -28,6 +29,8 @@ class VoxelMorphCVPR2018(nn.Module):
     output_channel: int = 3
     enc_filters: Tuple[int, ...] = (16, 32, 32, 32, 32)
     dec_filters: Tuple[int, ...] = (32, 32, 32, 8, 8)
+    dtype: Any = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, source: jnp.ndarray, target: jnp.ndarray,
@@ -41,9 +44,11 @@ class VoxelMorphCVPR2018(nn.Module):
           (disp_field, warped_source, deform_field) — fields are
           ``(B, D, H, W, 3)``, warped_source matches source's shape.
         """
+        CB = _maybe_remat(ConvBlock, self.remat)
+
         def conv(features, h, stride=1):
-            return ConvBlock(features, 3, stride, 1, use_bias=True,
-                             batchnorm=False, act="ReLU")(h, train)
+            return CB(features, 3, stride, 1, use_bias=True,
+                      batchnorm=False, act="ReLU", dtype=self.dtype)(h, train)
 
         x = jnp.concatenate([source, target], axis=-1)
         encs = []
@@ -64,8 +69,11 @@ class VoxelMorphCVPR2018(nn.Module):
 
         disp_field = nn.Conv(self.output_channel, (3, 3, 3), strides=(1, 1, 1),
                              padding=[(1, 1)] * 3, use_bias=True,
-                             kernel_init=conv_kernel_init)(
+                             dtype=self.dtype, kernel_init=conv_kernel_init)(
             jnp.concatenate([d5, e1], axis=-1))
+        # the warp/deform math stays in f32: bf16 displacement quantizes
+        # voxel coordinates too coarsely for sub-voxel registration
+        disp_field = disp_field.astype(jnp.float32)
 
         deform_field = disp_field + identity_grid_batch(
             source.shape, dtype=disp_field.dtype)

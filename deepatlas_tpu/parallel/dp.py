@@ -15,7 +15,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..metrics.confusion import confusion_matrix, dice_from_confusion
 from ..train.steps import TrainState, _apply_model
@@ -25,12 +28,21 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Device-put arrays sharded on their leading (batch) axis."""
     sharding = NamedSharding(mesh, P(axis_name))
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+        lambda x: jax.device_put(x, sharding, may_alias=False), batch)
 
 
 def replicate(tree, mesh: Mesh):
+    """Deep-copy a pytree onto the mesh, replicated.
+
+    The explicit ``jnp.copy`` guarantees fresh buffers: the DP steps donate
+    their state, and ``device_put`` aliases same-device shards (even under
+    ``may_alias=False`` on the CPU backend), which would let the donation
+    invalidate the caller's original arrays.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.copy(x), sharding, may_alias=False),
+        tree)
 
 
 def make_dp_seg_train_step(criterion: Callable, mesh: Mesh,
@@ -56,7 +68,7 @@ def make_dp_seg_train_step(criterion: Callable, mesh: Mesh,
         grads_fn, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name)),
         out_specs=P(),
-        check_rep=False)
+        check_vma=False)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images, labels):
@@ -81,7 +93,7 @@ def make_dp_seg_eval_step(n_class: int, mesh: Mesh,
         cm_fn, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name)),
         out_specs=P(),
-        check_rep=False)
+        check_vma=False)
 
     @jax.jit
     def eval_step(state: TrainState, images, labels):
@@ -89,6 +101,119 @@ def make_dp_seg_eval_step(n_class: int, mesh: Mesh,
         return dice_from_confusion(cm, 1e-11)[1:]
 
     return eval_step
+
+
+def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
+                        sup_loss: Callable, reg_weight: float,
+                        anatomy_weight: float, supervised_weight: float,
+                        n_class: int, mesh: Mesh, axis_name: str = "data"):
+    """Data-parallel flavors of the joint DeepAtlas phase steps.
+
+    Same semantics as train/reg_steps.py's ``make_joint_reg_step`` /
+    ``make_joint_seg_step`` (alternating semi-supervised scheme), but the
+    batch is sharded over the mesh's data axis and gradients/metrics are
+    ``pmean``-reduced over ICI before the replicated optimizer update.
+
+    Returns ``(dp_reg_step, dp_seg_step)`` with signatures
+    ``(phase_state, other_state, moving, fixed, moving_seg, fixed_seg,
+    moving_has_label, fixed_has_label) -> (phase_state, metrics)``.
+    """
+    from ..losses import soft_dice_on_probs
+    from ..ops import grid_sample, one_hot
+    from ..train.reg_steps import make_joint_reg_step, make_joint_seg_step  # noqa: F401  (doc pointer)
+
+    def reg_grads_fn(reg_state, seg_state, moving, fixed, moving_seg,
+                     fixed_seg, m_has, f_has):
+        seg_logits_m, _ = _apply_model(seg_state, seg_state.params, moving,
+                                       train=False)
+        seg_logits_f, _ = _apply_model(seg_state, seg_state.params, fixed,
+                                       train=False)
+        pred_m = jnp.argmax(seg_logits_m, axis=-1).astype(jnp.int32)
+        pred_f = jnp.argmax(seg_logits_f, axis=-1).astype(jnp.int32)
+        lab_m = jnp.where(m_has[:, None, None, None],
+                          moving_seg.astype(jnp.int32), pred_m)
+        lab_f = jnp.where(f_has[:, None, None, None],
+                          fixed_seg.astype(jnp.int32), pred_f)
+        onehot_m = one_hot(lab_m, n_class)
+
+        def loss_fn(params):
+            disp, warped, deform = reg_state.apply_fn(
+                {"params": params}, moving, fixed, train=True)
+            sim = sim_loss(warped.astype(jnp.float32),
+                           fixed.astype(jnp.float32))
+            reg = reg_loss(disp.astype(jnp.float32))
+            warped_onehot = grid_sample(onehot_m, deform, mode="trilinear")
+            anat = soft_dice_on_probs(warped_onehot, lab_f, n_class)
+            return sim + reg_weight * reg + anatomy_weight * anat, \
+                (sim, reg, anat)
+
+        (loss, (sim, reg, anat)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(reg_state.params)
+        metrics = {"loss": loss, "sim": sim, "reg": reg, "anatomy": anat}
+        return lax.pmean(grads, axis_name), lax.pmean(metrics, axis_name)
+
+    def seg_grads_fn(seg_state, reg_state, moving, fixed, moving_seg,
+                     fixed_seg, m_has, f_has):
+        disp, warped, deform = reg_state.apply_fn(
+            {"params": reg_state.params}, moving, fixed, train=False)
+        deform = jax.lax.stop_gradient(deform)
+
+        def loss_fn(params):
+            logits_m, new_bn = _apply_model(seg_state, params, moving,
+                                            train=True)
+            logits_f, new_bn2 = _apply_model(
+                seg_state.replace(batch_stats=new_bn), params, fixed,
+                train=True)
+            probs_m = jax.nn.softmax(logits_m.astype(jnp.float32), axis=-1)
+            probs_f = jax.nn.softmax(logits_f.astype(jnp.float32), axis=-1)
+            onehot_m = one_hot(moving_seg.astype(jnp.int32), n_class)
+            m_probs = jnp.where(m_has[:, None, None, None, None], onehot_m,
+                                probs_m)
+            warped_m = grid_sample(m_probs, deform, mode="trilinear")
+            onehot_f = one_hot(fixed_seg.astype(jnp.int32), n_class)
+            f_probs = jnp.where(f_has[:, None, None, None, None], onehot_f,
+                                probs_f)
+            inter = jnp.sum(warped_m[..., 1:] * f_probs[..., 1:],
+                            axis=(1, 2, 3))
+            denom = jnp.sum(warped_m[..., 1:], axis=(1, 2, 3)) + \
+                jnp.sum(f_probs[..., 1:], axis=(1, 2, 3))
+            anat = 1.0 - jnp.mean(2.0 * inter / (denom + 1e-5))
+            sup_m = sup_loss(logits_m.astype(jnp.float32),
+                             moving_seg.astype(jnp.int32))
+            sup_f = sup_loss(logits_f.astype(jnp.float32),
+                             fixed_seg.astype(jnp.int32))
+            any_m = jnp.any(m_has).astype(jnp.float32)
+            any_f = jnp.any(f_has).astype(jnp.float32)
+            sup = (sup_m * any_m + sup_f * any_f) / jnp.maximum(
+                any_m + any_f, 1.0)
+            loss = anatomy_weight * anat + supervised_weight * sup
+            return loss, (new_bn2, anat, sup)
+
+        (loss, (new_bn, anat, sup)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(seg_state.params)
+        metrics = {"loss": loss, "anatomy": anat, "supervised": sup}
+        return (lax.pmean(grads, axis_name), lax.pmean(new_bn, axis_name),
+                lax.pmean(metrics, axis_name))
+
+    batch_specs = (P(axis_name),) * 6
+    sharded_reg = shard_map(reg_grads_fn, mesh=mesh,
+                            in_specs=(P(), P()) + batch_specs,
+                            out_specs=P(), check_vma=False)
+    sharded_seg = shard_map(seg_grads_fn, mesh=mesh,
+                            in_specs=(P(), P()) + batch_specs,
+                            out_specs=P(), check_vma=False)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def dp_reg_step(reg_state, seg_state, *batch):
+        grads, metrics = sharded_reg(reg_state, seg_state, *batch)
+        return reg_state.apply_gradients(grads), metrics
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def dp_seg_step(seg_state, reg_state, *batch):
+        grads, new_bn, metrics = sharded_seg(seg_state, reg_state, *batch)
+        return seg_state.apply_gradients(grads, new_bn), metrics
+
+    return dp_reg_step, dp_seg_step
 
 
 def make_dp_reg_train_step(sim_loss: Callable, reg_loss: Callable,
@@ -112,7 +237,7 @@ def make_dp_reg_train_step(sim_loss: Callable, reg_loss: Callable,
         grads_fn, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name)),
         out_specs=P(),
-        check_rep=False)
+        check_vma=False)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, moving, fixed):

@@ -6,14 +6,15 @@ tests exercise shard_map DP on host CPU devices without TPUs).
 import os
 
 # force-override: the machine environment pins JAX_PLATFORMS=axon (the real
-# TPU tunnel); tests must run on host CPU with virtual devices
+# TPU tunnel); tests must run on host CPU with virtual devices.  Under the
+# axon PJRT plugin the JAX_PLATFORMS / XLA_FLAGS env vars are ignored, so the
+# jax.config knobs (applied before backend init) are the reliable switch.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # f32 parity tests against torch need full-precision convs/matmuls; the
 # framework itself keeps JAX's fast default (bf16 passes on the TPU MXU).

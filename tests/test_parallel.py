@@ -67,8 +67,9 @@ class TestDPSeg:
         mesh = make_mesh(8)
 
         dp_step = make_dp_seg_train_step(criterion, mesh)
+        # NB: replicate() must deep-copy — dp_step donates its state, and the
+        # fixture's arrays are shared across tests
         dp_state = replicate(state, mesh)
-        dp_state = dp_state.replace(opt_state=state.opt_state)
         batch = shard_batch({"image": images, "seg": labels}, mesh)
         dp_state, dp_loss = dp_step(dp_state, batch["image"], batch["seg"])
 
