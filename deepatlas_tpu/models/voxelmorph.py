@@ -31,6 +31,10 @@ class VoxelMorphCVPR2018(nn.Module):
     dec_filters: Tuple[int, ...] = (32, 32, 32, 8, 8)
     dtype: Any = None
     remat: bool = False
+    # spatial transformer backend: the Pallas kernel (pallas/warp.py) avoids
+    # XLA's slow TPU gather; exact for |disp| <= max_disp voxels in z/y
+    use_pallas_warp: bool = False
+    max_disp: int = 8
 
     @nn.compact
     def __call__(self, source: jnp.ndarray, target: jnp.ndarray,
@@ -77,5 +81,12 @@ class VoxelMorphCVPR2018(nn.Module):
 
         deform_field = disp_field + identity_grid_batch(
             source.shape, dtype=disp_field.dtype)
-        warped_source = grid_sample(source, deform_field, mode="trilinear")
+        if self.use_pallas_warp:
+            from ..pallas import pallas_grid_sample
+            warped_source = pallas_grid_sample(
+                source.astype(jnp.float32), deform_field,
+                max_disp=self.max_disp)
+        else:
+            warped_source = grid_sample(source, deform_field,
+                                        mode="trilinear")
         return disp_field, warped_source, deform_field

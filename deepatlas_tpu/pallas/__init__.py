@@ -1,0 +1,10 @@
+"""Pallas TPU kernels for the hot ops (BASELINE.json north star).
+
+``pallas_grid_sample`` / ``pallas_warp`` replace the XLA gather composition
+of ops/warp.py on TPU, where XLA's generic gather lowering runs far off the
+HBM roofline.  The XLA path remains the exactness reference and the fallback
+for unbounded displacement fields and tiny volumes.
+"""
+from .warp import pallas_grid_sample, pallas_warp
+
+__all__ = ["pallas_grid_sample", "pallas_warp"]

@@ -1,0 +1,125 @@
+"""Pallas warp kernel vs the XLA reference (interpret mode on CPU).
+
+SURVEY.md §4(e): Pallas kernel equivalence tests run in interpreter mode
+against the ops/warp.py composition (itself bit-matched to torch
+grid_sample in test_warp.py).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepatlas_tpu.ops import grid_sample, identity_grid_batch
+from deepatlas_tpu.pallas import pallas_grid_sample, pallas_warp
+
+D, H, W = 24, 20, 36
+TZ, R = 4, 3
+
+
+def make_field(rng, amplitude_vox):
+    """Smooth random displacement field bounded by ``amplitude_vox``."""
+    disp = rng.rand(1, D, H, W, 3).astype(np.float32) * 2.0 - 1.0
+    # scale normalized units so the voxel displacement stays in bound
+    scale = np.array([amplitude_vox * 2.0 / (W - 1),
+                      amplitude_vox * 2.0 / (H - 1),
+                      amplitude_vox * 2.0 / (D - 1)], np.float32)
+    return disp * scale
+
+
+class TestPallasForward:
+    def test_identity_grid_roundtrip(self, rng):
+        vol = jnp.asarray(rng.rand(1, D, H, W, 1).astype(np.float32))
+        grid = identity_grid_batch((1, D, H, W, 3))
+        out = pallas_grid_sample(vol, grid, max_disp=R, z_tile=TZ,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(vol),
+                                   atol=1e-5)
+
+    def test_matches_xla_grid_sample(self, rng):
+        vol = jnp.asarray(rng.rand(1, D, H, W, 1).astype(np.float32))
+        disp = jnp.asarray(make_field(rng, amplitude_vox=2.5))
+        grid = disp + identity_grid_batch((1, D, H, W, 3))
+        ref = grid_sample(vol, grid, mode="trilinear")
+        out = pallas_grid_sample(vol, grid, max_disp=R, z_tile=TZ,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_out_of_volume_zero_padding(self, rng):
+        vol = jnp.asarray(rng.rand(1, D, H, W, 1).astype(np.float32))
+        grid = identity_grid_batch((1, D, H, W, 3)) + 0.08  # push past +1
+        ref = grid_sample(vol, grid, mode="trilinear")
+        out = pallas_grid_sample(vol, grid, max_disp=R, z_tile=TZ,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_multichannel_batch(self, rng):
+        vol = jnp.asarray(rng.rand(2, D, H, W, 2).astype(np.float32))
+        disp = jnp.asarray(np.concatenate(
+            [make_field(rng, 1.5), make_field(rng, 1.5)], axis=0))
+        grid = disp + identity_grid_batch((2, D, H, W, 3))
+        ref = grid_sample(vol, grid, mode="trilinear")
+        out = pallas_grid_sample(vol, grid, max_disp=R, z_tile=TZ,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_wide_volume_lane_chunking(self, rng):
+        """W > 128 exercises the multi-chunk lane gather."""
+        w = 150
+        vol = jnp.asarray(rng.rand(1, D, H, w, 1).astype(np.float32))
+        disp = rng.rand(1, D, H, w, 3).astype(np.float32) * 0.02 - 0.01
+        grid = jnp.asarray(disp) + identity_grid_batch((1, D, H, w, 3))
+        ref = grid_sample(vol, grid, mode="trilinear")
+        out = pallas_grid_sample(vol, grid, max_disp=R, z_tile=TZ,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+class TestPallasBackward:
+    def test_grad_wrt_grid_matches_xla(self, rng):
+        vol = jnp.asarray(rng.rand(1, D, H, W, 1).astype(np.float32))
+        disp = jnp.asarray(make_field(rng, 2.0))
+        grid0 = disp + identity_grid_batch((1, D, H, W, 3))
+        tangent = jnp.asarray(rng.rand(1, D, H, W, 1).astype(np.float32))
+
+        def loss_ref(g):
+            return jnp.sum(grid_sample(vol, g, mode="trilinear") * tangent)
+
+        def loss_pallas(g):
+            return jnp.sum(pallas_grid_sample(vol, g, max_disp=R, z_tile=TZ,
+                                              interpret=True) * tangent)
+
+        g_ref = jax.grad(loss_ref)(grid0)
+        g_pal = jax.grad(loss_pallas)(grid0)
+        # gradients agree except on the measure-zero set where a sample
+        # coordinate is exactly integral (tent kink); random fields avoid it
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_grad_wrt_vol_matches_xla(self, rng):
+        vol0 = jnp.asarray(rng.rand(1, D, H, W, 1).astype(np.float32))
+        disp = jnp.asarray(make_field(rng, 2.0))
+        grid = disp + identity_grid_batch((1, D, H, W, 3))
+        tangent = jnp.asarray(rng.rand(1, D, H, W, 1).astype(np.float32))
+
+        g_ref = jax.grad(lambda v: jnp.sum(
+            grid_sample(v, grid, mode="trilinear") * tangent))(vol0)
+        g_pal = jax.grad(lambda v: jnp.sum(
+            pallas_grid_sample(v, grid, max_disp=R, z_tile=TZ,
+                               interpret=True) * tangent))(vol0)
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_warp_displacement_api(rng):
+    vol = jnp.asarray(rng.rand(1, D, H, W, 1).astype(np.float32))
+    disp = jnp.asarray(make_field(rng, 1.0))
+    from deepatlas_tpu.ops import warp as xla_warp
+    ref = xla_warp(vol, disp)
+    out = pallas_warp(vol, disp, max_disp=R, z_tile=TZ, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
