@@ -54,8 +54,21 @@ def _open_maybe_gzip(path: Union[str, Path], mode: str):
     return open(path, mode)
 
 
-def read_nifti(path: Union[str, Path]) -> NiftiImage:
-    """Read a .nii / .nii.gz file."""
+def read_nifti(path: Union[str, Path],
+               prefer_native: bool = True) -> NiftiImage:
+    """Read a .nii / .nii.gz file.
+
+    Uses the native C++ reader (native/deepatlas_io.cpp — zlib inflate +
+    parse + dtype conversion, the SimpleITK-C++-equivalent tier) when the
+    library is available, falling back to this pure-Python parser.
+    """
+    if prefer_native:
+        from ._native import read_nifti_native
+        res = read_nifti_native(str(path))
+        if res is not None:
+            data, spacing, affine = res
+            return NiftiImage(data=data, spacing=spacing,
+                              affine=np.asarray(affine, np.float64))
     with _open_maybe_gzip(path, "rb") as f:
         raw = f.read()
 

@@ -152,3 +152,96 @@ def make_registration_image_summary(
     if seg_tiles:
         grids["masks"] = _grid(seg_tiles)
     return grids
+
+
+def generate_deform_grid(deform_slice: np.ndarray, background_image:
+                         Optional[np.ndarray] = None,
+                         n_bins: int = 20) -> np.ndarray:
+    """Deformation contour grid over a slice (visualize.py:105-189 capability).
+
+    Draws iso-contours of the two in-plane deformation coordinate fields —
+    a warped grid visualization of the dense transform.
+
+    Args:
+      deform_slice: (H, W, 2) in-plane deformation coordinates in [-1, 1]
+        (the two components of the dense deform field along the slice).
+      background_image: optional (H, W) grayscale in [0, 1].
+
+    Returns:
+      (3, H', W') float RGB in [0, 1].
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
+
+    deform_slice = np.asarray(deform_slice)
+    h, w = deform_slice.shape[:2]
+    fig = Figure(figsize=(w / 20.0, h / 20.0), dpi=20)
+    canvas = FigureCanvasAgg(fig)
+    ax = fig.add_axes([0, 0, 1, 1], frameon=False)
+    ax.set_axis_off()
+    if background_image is not None:
+        ax.imshow(np.asarray(background_image), vmin=0, vmax=1, cmap="gray")
+    levels = np.linspace(-1, 1, n_bins)
+    for c in range(deform_slice.shape[-1]):
+        ax.contour(deform_slice[..., c], colors=["yellow"], linewidths=2.0,
+                   linestyles="solid", levels=levels)
+    ax.set_xlim([0, w])
+    ax.set_ylim([h, 0])
+    canvas.draw()
+    buf = np.asarray(canvas.buffer_rgba())[..., :3].astype(np.float32) / 255.0
+    return np.transpose(buf, (2, 0, 1))
+
+
+def plot_grad_flow(grads, max_groups: int = 64) -> np.ndarray:
+    """Per-layer mean |gradient| bar chart (visualize.py:20-63 capability).
+
+    Args:
+      grads: a JAX/Flax gradient pytree (as produced by ``jax.grad`` over
+        params) — leaves are arrays; keys become layer labels.
+
+    Returns:
+      (3, H, W) float RGB image for ``SummaryWriter.add_image``.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
+
+    try:
+        import jax
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        items = [("/".join(str(getattr(k, "key", k)) for k in path),
+                  np.mean(np.abs(np.asarray(leaf))))
+                 for path, leaf in flat]
+    except Exception:
+        items = [(k, np.mean(np.abs(np.asarray(v))))
+                 for k, v in dict(grads).items()]
+    items = items[:max_groups]
+    labels = [k for k, _ in items]
+    values = [v for _, v in items]
+
+    fig = Figure(figsize=(max(6, len(items) * 0.35), 4), dpi=60)
+    canvas = FigureCanvasAgg(fig)
+    ax = fig.add_subplot(111)
+    ax.bar(range(len(values)), values, color="tab:blue", alpha=0.7)
+    ax.set_xticks(range(len(labels)))
+    ax.set_xticklabels(labels, rotation=90, fontsize=5)
+    ax.set_ylabel("mean |grad|")
+    ax.set_title("Gradient flow")
+    fig.tight_layout()
+    canvas.draw()
+    buf = np.asarray(canvas.buffer_rgba())[..., :3].astype(np.float32) / 255.0
+    return np.transpose(buf, (2, 0, 1))
+
+
+def slices_padding(slices, pad: int = 2, pad_value: float = 1.0):
+    """Pad a list of (3, H, W) slices to a common size (visualize.py:295-310
+    capability) — returns a (N, 3, H', W') array."""
+    h = max(s.shape[1] for s in slices)
+    w = max(s.shape[2] for s in slices)
+    out = np.full((len(slices), 3, h, w), pad_value, dtype=np.float32)
+    for i, s in enumerate(slices):
+        out[i, :, :s.shape[1], :s.shape[2]] = s
+    return out
