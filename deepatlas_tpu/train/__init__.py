@@ -20,6 +20,11 @@ from .deepatlas import DeepAtlasExperiment  # noqa: E402
 from .reg_steps import (make_reg_train_step, make_reg_eval_step,  # noqa: E402
                         make_joint_reg_step, make_joint_seg_step)
 
+from .inference import (make_tile_predictor, sliding_window_predict,  # noqa: E402
+                        evaluate_sliding_window)
+
 __all__ += ["RegistrationExperiment", "DeepAtlasExperiment",
             "make_reg_train_step", "make_reg_eval_step",
-            "make_joint_reg_step", "make_joint_seg_step"]
+            "make_joint_reg_step", "make_joint_seg_step",
+            "make_tile_predictor", "sliding_window_predict",
+            "evaluate_sliding_window"]

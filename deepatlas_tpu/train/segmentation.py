@@ -73,9 +73,28 @@ class SegmentationExperiment(BaseExperiment):
 
     def _transforms(self):
         transforms = [VolumeToArray()]
+        if self.config.get("flip_left"):
+            from ..data import LeftToRight
+            transforms.append(LeftToRight())
         if self.config.get("crop_size"):
             transforms.append(CropVolume(self.config["crop_size"]))
         return Compose(transforms)
+
+    def _patch_sampler(self):
+        """OAI patch training (BASELINE.json config 4): a running transform
+        drawing random / class-balanced ROI crops (transforms.py:322-494)."""
+        patch = self.config.get("patch_size")
+        if not patch:
+            return None
+        from ..data import BalancedRandomCrop, RandomCrop
+        rng = np.random.RandomState(self.config["random_seed"])
+        if self.config.get("sampler", "random") == "balanced":
+            return BalancedRandomCrop(
+                patch, threshold=self.config.get("patch_threshold", 0.01),
+                n_classes=self.config["n_classes"], random_state=rng)
+        return RandomCrop(patch,
+                          threshold=self.config.get("patch_threshold", 0.0),
+                          random_state=rng)
 
     def setup_train_data(self):
         print("Initializing dataloader")
@@ -84,7 +103,8 @@ class SegmentationExperiment(BaseExperiment):
         training_data = dataset_cls(
             self.config["training_list_file"], self.config["data_dir"],
             with_seg=True, preload=self.config.get("preload", False),
-            pre_transform=tf, n_samples=self.config["num_samples"] * 2)
+            pre_transform=tf, running_transform=self._patch_sampler(),
+            n_samples=self.config["num_samples"] * 2)
         self.training_data_loader = DataLoader(
             training_data, batch_size=self.config["batch_size"], shuffle=True,
             seed=self.config["random_seed"], prefetch=2)
