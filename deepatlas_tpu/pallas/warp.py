@@ -60,7 +60,12 @@ def _lane_gather(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     ``src`` and ``idx`` are (..., Wp) with Wp a multiple of 128; returns
     ``out[..., j] = src[..., idx[..., j]]``.  idx must lie in [0, Wp).
     """
-    wp = src.shape[-1]
+    shape = src.shape
+    wp = shape[-1]
+    if len(shape) > 2:
+        # Mosaic supports 2D gathers only; leading dims merge into rows
+        out = _lane_gather(src.reshape(-1, wp), idx.reshape(-1, wp))
+        return out.reshape(shape)
     n = wp // LANE
     if n == 1:
         return jnp.take_along_axis(src, idx, axis=-1)
@@ -96,10 +101,17 @@ def _range_from(lo: jnp.ndarray, hi: jnp.ndarray, bound_lo: int,
 
 # --------------------------------------------------------------- forward
 
+def _ypad(r: int) -> int:
+    """Sublane-aligned y margin covering the tent support (multiple of 8 —
+    vector/DMA slices of VMEM must start at 8-row boundaries)."""
+    return -(-(r + 1) // 8) * 8
+
+
 def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
                 d, h, w, wp, tz, r):
     s_planes = tz + 2 * (r + 1)          # slab depth
-    hp = h + 2 * (r + 1)                 # y-padded slab height
+    yp = _ypad(r)
+    hp = h + 2 * yp                      # y-padded slab height
     zi = pl.program_id(0)
     z0 = zi * tz
 
@@ -107,7 +119,7 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
     slab[...] = jnp.zeros_like(slab)
     cp = pltpu.make_async_copy(
         vol_ref.at[pl.ds(s0, s_planes), :, :],
-        slab.at[:, pl.ds(r + 1, h), :], sem)
+        slab.at[:, pl.ds(yp, h), :], sem)
     cp.start()
 
     gz = gz_ref[...] - s0.astype(jnp.float32)      # slab-local z coords
@@ -135,7 +147,13 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
         wz = _tent(gz - s.astype(jnp.float32))
 
         def y_body(dy, acc):
-            plane = jnp.broadcast_to(slab[s, pl.ds(r + 1 + dy, h), :],
+            # realize the dy row shift as a cyclic roll + aligned static
+            # slice: unaligned sublane slices of VMEM cannot be vector-
+            # loaded or gathered from (Mosaic 8-row tiling), but
+            # tpu.dynamic_rotate takes any shift.  Wrapped rows carry the
+            # zeroed padding and are masked by the y-validity weight.
+            k = jnp.mod(hp - (yp + dy), hp)
+            plane = jnp.broadcast_to(pltpu.roll(slab[s], k, 0)[0:h],
                                      gz.shape)
             v0 = _lane_gather(plane, ix0c)
             v1 = _lane_gather(plane, ix1c)
@@ -156,16 +174,18 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
 # ------------------------------------------------------- backward: grid
 
 def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref,
-                     dgz_ref, dgy_ref, dgx_ref, slab, sem, *,
-                     d, h, w, wp, tz, r):
+                     dgz_ref, dgy_ref, dgx_ref, slab, sem,
+                     *, d, h, w, wp, tz, r):
     s_planes = tz + 2 * (r + 1)
+    yp = _ypad(r)
+    hp = h + 2 * yp
     zi = pl.program_id(0)
     z0 = zi * tz
     s0 = jnp.clip(z0 - (r + 1), 0, jnp.maximum(d - s_planes, 0))
     slab[...] = jnp.zeros_like(slab)
     cp = pltpu.make_async_copy(
         vol_ref.at[pl.ds(s0, s_planes), :, :],
-        slab.at[:, pl.ds(r + 1, h), :], sem)
+        slab.at[:, pl.ds(yp, h), :], sem)
     cp.start()
 
     gz = gz_ref[...] - s0.astype(jnp.float32)
@@ -195,7 +215,8 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref,
 
         def y_body(dy, accs):
             az, ay, ax = accs
-            plane = jnp.broadcast_to(slab[s, pl.ds(r + 1 + dy, h), :],
+            k = jnp.mod(hp - (yp + dy), hp)
+            plane = jnp.broadcast_to(pltpu.roll(slab[s], k, 0)[0:h],
                                      gz.shape)
             v0 = jnp.where(x_ok0, _lane_gather(plane, ix0c), 0.0)
             v1 = jnp.where(x_ok1, _lane_gather(plane, ix1c), 0.0)
@@ -243,57 +264,65 @@ def _fwd_single(vol: jnp.ndarray, gz, gy, gx, *, tz: int, r: int,
     """vol (D,H,W) f32, coords (D,H,W) voxel units -> warped (D,H,W)."""
     d, h, w = vol.shape
     wp = _ceil_to(w, LANE)
+    hb = _ceil_to(h, 8)
     n_tiles = -(-d // tz)
     dp = n_tiles * tz
     s_planes = tz + 2 * (r + 1)
-    hp_slab = h + 2 * (r + 1)
+    hp_slab = hb + 2 * _ypad(r)
     if d < s_planes:
         raise ValueError(f"volume depth {d} < slab {s_planes}; use the XLA "
                          f"path for tiny volumes")
 
-    volp = _pad_last(vol, wp)
-    coords = [_pad_last(jnp.pad(c, [(0, dp - d), (0, 0), (0, 0)]), wp)
+    volp = _pad_last(jnp.pad(vol, [(0, 0), (0, hb - h), (0, 0)]), wp)
+    coords = [_pad_last(jnp.pad(c, [(0, dp - d), (0, hb - h), (0, 0)],
+                                mode="edge"), wp)
               for c in (gz, gy, gx)]
 
-    kern = functools.partial(_fwd_kernel, d=d, h=h, w=w, wp=wp, tz=tz, r=r)
+    kern = functools.partial(_fwd_kernel, d=d, h=hb, w=w, wp=wp, tz=tz, r=r)
     out = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((tz, h, wp), lambda i: (i, 0, 0),
+            pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tz, h, wp), lambda i: (i, 0, 0),
+            pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tz, h, wp), lambda i: (i, 0, 0),
+            pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((tz, h, wp), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((dp, h, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((dp, hb, wp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((s_planes, hp_slab, wp), jnp.float32),
                         pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*coords, volp)
-    return out[:d, :, :w]
+    return out[:d, :h, :w]
 
 
 def _bwd_grid_single(vol, gz, gy, gx, ct, *, tz: int, r: int,
                      interpret: bool):
     d, h, w = vol.shape
     wp = _ceil_to(w, LANE)
+    hb = _ceil_to(h, 8)
     n_tiles = -(-d // tz)
     dp = n_tiles * tz
     s_planes = tz + 2 * (r + 1)
-    hp_slab = h + 2 * (r + 1)
+    hp_slab = hb + 2 * _ypad(r)
 
-    volp = _pad_last(vol, wp)
-    padded = [_pad_last(jnp.pad(c, [(0, dp - d), (0, 0), (0, 0)]), wp)
-              for c in (gz, gy, gx, ct)]
+    volp = _pad_last(jnp.pad(vol, [(0, 0), (0, hb - h), (0, 0)]), wp)
+    padded = [_pad_last(jnp.pad(c, [(0, dp - d), (0, hb - h), (0, 0)],
+                                mode="edge"), wp)
+              for c in (gz, gy, gx)]
+    padded.append(_pad_last(jnp.pad(ct, [(0, dp - d), (0, hb - h), (0, 0)]),
+                            wp))
 
-    kern = functools.partial(_bwd_grid_kernel, d=d, h=h, w=w, wp=wp, tz=tz,
+    kern = functools.partial(_bwd_grid_kernel, d=d, h=hb, w=w, wp=wp, tz=tz,
                              r=r)
-    spec = pl.BlockSpec((tz, h, wp), lambda i: (i, 0, 0),
+    spec = pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     dgz, dgy, dgx = pl.pallas_call(
         kern,
@@ -301,13 +330,15 @@ def _bwd_grid_single(vol, gz, gy, gx, ct, *, tz: int, r: int,
         in_specs=[spec, spec, spec, spec,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(spec, spec, spec),
-        out_shape=tuple(jax.ShapeDtypeStruct((dp, h, wp), jnp.float32)
+        out_shape=tuple(jax.ShapeDtypeStruct((dp, hb, wp), jnp.float32)
                         for _ in range(3)),
         scratch_shapes=[pltpu.VMEM((s_planes, hp_slab, wp), jnp.float32),
                         pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*padded, volp)
-    return (dgz[:d, :, :w], dgy[:d, :, :w], dgx[:d, :, :w])
+    return (dgz[:d, :h, :w], dgy[:d, :h, :w], dgx[:d, :h, :w])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
