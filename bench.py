@@ -51,7 +51,10 @@ def main():
     # chip's HBM (f32 no-remat needs ~35G vs 16G available)
     seg_model = UNetLight(in_channel=1, n_classes=nc, bias=True, BN=True,
                           dtype=jnp.bfloat16, remat=True)
-    reg_model = VoxelMorphCVPR2018(dtype=jnp.bfloat16, remat=True)
+    # Pallas spatial transformer (pallas/warp.py): XLA's TPU gather lowering
+    # runs ~7x slower on this op
+    reg_model = VoxelMorphCVPR2018(dtype=jnp.bfloat16, remat=True,
+                                   use_pallas_warp=True, max_disp=8)
     seg_vars = seg_model.init(ks[3], moving, train=False)
     reg_vars = reg_model.init(ks[4], moving, fixed)
     seg_state = TrainState.create(
@@ -68,16 +71,19 @@ def main():
     reg_step = make_reg_train_step(sim, reg_l, reg_weight=1.0)
     seg_step = make_seg_train_step(dice)
 
-    # warmup / compile
+    import numpy as np
+
+    # warmup / compile (np.asarray forces a real D2H sync — the axon
+    # backend's block_until_ready returns early)
     reg_state, m = reg_step(reg_state, moving, fixed)
     seg_state, loss, _ = seg_step(seg_state, moving, labels)
-    jax.block_until_ready((m["loss"], loss))
+    np.asarray(m["loss"]), np.asarray(loss)
 
     t0 = time.time()
     for _ in range(args.iters):
         reg_state, m = reg_step(reg_state, moving, fixed)
         seg_state, loss, _ = seg_step(seg_state, moving, labels)
-    jax.block_until_ready((m["loss"], loss))
+    np.asarray(m["loss"]), np.asarray(loss)
     dt = (time.time() - t0) / args.iters
     vols_per_sec = 2.0 / dt  # the (moving, fixed) pair per joint iteration
 
