@@ -24,6 +24,7 @@ from ..data import (Compose, CropVolume, DataLoader, VolumeToArray, endless,
 from ..losses import get_loss_function
 from ..models import get_network
 from ..utils import visualize
+from ..utils.profiling import ThroughputMeter, annotate, trace
 from .base import BaseExperiment
 from .checkpoint import initialize_from, save_checkpoint
 from .schedules import make_scheduler
@@ -175,8 +176,14 @@ class SegmentationExperiment(BaseExperiment):
 
         print(self.config["samples_per_epoch"], self.config["batch_size"])
         print("Start Training:")
+        profile_dir = self.config.get("profile_dir")
         for _ in range(self.current_epoch, self.config["n_epochs"] + 1):
-            self.train_one_epoch()
+            if profile_dir and self.current_epoch == 2:
+                # trace the second epoch (first is compile-dominated)
+                with trace(profile_dir):
+                    self.train_one_epoch()
+            else:
+                self.train_one_epoch()
             self.validate()
             self.current_epoch += 1
         self.close()
@@ -189,24 +196,33 @@ class SegmentationExperiment(BaseExperiment):
                            // self.config["batch_size"])
         start = time.time()
         batch = None
+        meter = ThroughputMeter(n_chips=jax.device_count())
+        meter.start()
         for i in range(iters_per_epoch):
             batch = next(self._train_iter)
             images = jnp.asarray(batch["image"])
             labels = jnp.asarray(batch["segmentation"].astype(np.int32))
-            self.state, loss, logits = self.train_step(self.state, images,
-                                                       labels)
+            with annotate("seg_train_step"):
+                self.state, loss, logits = self.train_step(self.state,
+                                                           images, labels)
             self.global_step = ((self.current_epoch - 1) * iters_per_epoch
                                 + (i + 1) * self.config["batch_size"])
             running_loss += float(loss)
+            meter.step(volumes=self.config["batch_size"])
             if i % period == period - 1:
                 avg = running_loss / period if i > 0 else running_loss
-                print("Epoch[{}/{}] iter {} loss: {:.3f} lr:{} {}".format(
-                    self.current_epoch, self.config["n_epochs"], i + 1, avg,
-                    self.scheduler.lr,
-                    datetime.datetime.now().strftime("%D %H:%M:%S")))
+                print("Epoch[{}/{}] iter {} loss: {:.3f} lr:{} "
+                      "{:.3f} vol/s/chip {}".format(
+                          self.current_epoch, self.config["n_epochs"], i + 1,
+                          avg, self.scheduler.lr,
+                          meter.volumes_per_sec_per_chip,
+                          datetime.datetime.now().strftime("%D %H:%M:%S")))
                 self.writer.add_scalar("loss/training", avg,
                                        global_step=self.global_step)
                 self.writer.add_scalar("learning_rate", self.scheduler.lr,
+                                       global_step=self.global_step)
+                self.writer.add_scalar("throughput/volumes_per_sec_per_chip",
+                                       meter.volumes_per_sec_per_chip,
                                        global_step=self.global_step)
                 running_loss = 0.0
 

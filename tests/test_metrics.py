@@ -94,3 +94,24 @@ class TestJacobian:
         deform[..., 0] *= -1
         stats = folding_stats(jnp.asarray(deform))
         assert float(stats["folding_fraction"]) == 1.0
+
+
+class TestProfiling:
+    def test_throughput_meter(self):
+        from deepatlas_tpu.utils import ThroughputMeter
+        m = ThroughputMeter(n_chips=2)
+        m.start()
+        for _ in range(5):
+            m.step(volumes=4)
+        s = m.summary()
+        assert s["steps"] == 5 and s["volumes"] == 20
+        assert s["volumes_per_sec"] > 0
+        assert abs(s["volumes_per_sec_per_chip"] * 2
+                   - s["volumes_per_sec"]) < 1e-6
+
+    def test_sync_and_memory_stats(self):
+        import jax.numpy as jnp
+        from deepatlas_tpu.utils import device_memory_stats, sync
+        sync({"a": jnp.ones((4,))})
+        stats = device_memory_stats()
+        assert isinstance(stats, dict)
