@@ -110,6 +110,14 @@ class UNetTemplate(nn.Module):
         CB = _maybe_remat(ConvBlock, self.remat)
         DB = _maybe_remat(DeconvBlock, self.remat)
         levels = len(self.encoders)
+        factor = 2 ** (levels - 1)
+        bad = [n for n in x.shape[1:4] if n % factor]
+        if bad:
+            raise ValueError(
+                f"UNet with {levels} levels needs spatial dims divisible by "
+                f"{factor}, got {x.shape[1:4]} — crop or pad the input "
+                f"(the reference has the same constraint: maxpool floor + "
+                f"2x deconv, unets.py:230-241)")
         skips = []
 
         # encoder path: level 0's chain is (in_channel,) + plan, deeper levels

@@ -30,6 +30,7 @@ def save_checkpoint(state: dict, is_best: bool, path: str,
     """Save ``state`` (a pytree dict, e.g. {'epoch', 'params', 'opt_state',
     'batch_stats', 'best_score', ...}) under ``path``; also copy to the best
     slot when ``is_best``."""
+    path = os.path.abspath(path)  # orbax/tensorstore requires absolute
     os.makedirs(path, exist_ok=True)
     state = jax.device_get(state)
     ckpt = _checkpointer()
@@ -42,6 +43,7 @@ def save_checkpoint(state: dict, is_best: bool, path: str,
 
 def load_checkpoint(path: str, template: Optional[Any] = None) -> dict:
     """Restore a checkpoint directory saved by ``save_checkpoint``."""
+    path = os.path.abspath(path)
     if not os.path.isdir(path):
         raise ValueError(f"=> no checkpoint found at '{path}'")
     ckpt = _checkpointer()

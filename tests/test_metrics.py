@@ -105,9 +105,9 @@ class TestProfiling:
             m.step(volumes=4)
         s = m.summary()
         assert s["steps"] == 5 and s["volumes"] == 20
-        assert s["volumes_per_sec"] > 0
-        assert abs(s["volumes_per_sec_per_chip"] * 2
-                   - s["volumes_per_sec"]) < 1e-6
+        assert m.volumes_per_sec > 0
+        assert abs(m.volumes_per_sec_per_chip * 2
+                   - m.volumes_per_sec) < 1e-6 * m.volumes_per_sec
 
     def test_sync_and_memory_stats(self):
         import jax.numpy as jnp
