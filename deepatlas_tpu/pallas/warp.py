@@ -417,6 +417,11 @@ def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
     if interpret is None:
         interpret = _default_interpret()
     b, d, h, w, c = vol.shape
+    if d < z_tile + 2 * (max_disp + 1):
+        # volume too shallow for the slab pipeline — the XLA composition is
+        # cheap at these sizes anyway
+        from ..ops.warp import grid_sample as xla_grid_sample
+        return xla_grid_sample(vol, grid, mode="trilinear")
     outs = []
     for bi in range(b):
         for ci in range(c):

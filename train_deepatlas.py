@@ -32,7 +32,7 @@ def build_config(args) -> dict:
         seg_model_settings={"in_channel": 1, "n_classes": n_classes,
                             "bias": True, "BN": True},
         reg_model="voxel_morph_cvpr",
-        reg_model_settings={},
+        reg_model_settings={"use_pallas_warp": True, "max_disp": 8},
         n_classes=n_classes,
         n_labeled=args.n_labeled,
 

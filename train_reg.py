@@ -28,7 +28,8 @@ def build_config(args) -> dict:
         save_ckpts_epoch_period=1,
 
         model="voxel_morph_cvpr",
-        model_settings={},
+        model_settings={"use_pallas_warp": not args.no_pallas_warp,
+                        "max_disp": args.max_disp},
         n_classes=n_classes,
 
         crop_size=[0, 10, 7, 14, 8, 7],
@@ -80,6 +81,11 @@ def main():
     parser.add_argument("--lr", default=1e-3, type=float)
     parser.add_argument("--reg-weight", default=1.0, type=float,
                         help="weight of the smoothness regularizer")
+    parser.add_argument("--no-pallas-warp", action="store_true",
+                        help="use the XLA spatial transformer instead of "
+                             "the Pallas kernel")
+    parser.add_argument("--max-disp", default=8, type=int,
+                        help="Pallas warp displacement bound (voxels)")
     parser.add_argument("--max-validation-pairs", default=20, type=int,
                         help="cap on validation pairs per epoch (the pair "
                              "space is N*(N-1))")
