@@ -9,9 +9,10 @@ though a single v4/v5e host only exercises ICI.
 """
 from .mesh import make_mesh, local_device_count
 from .dp import (make_dp_seg_train_step, make_dp_seg_eval_step,
-                 make_dp_reg_train_step, make_dp_joint_steps, shard_batch,
-                 replicate)
+                 make_dp_confusion_eval_step, make_dp_reg_train_step,
+                 make_dp_joint_steps, shard_batch, replicate)
 
 __all__ = ["make_mesh", "local_device_count", "make_dp_seg_train_step",
-           "make_dp_seg_eval_step", "make_dp_reg_train_step",
-           "make_dp_joint_steps", "shard_batch", "replicate"]
+           "make_dp_seg_eval_step", "make_dp_confusion_eval_step",
+           "make_dp_reg_train_step", "make_dp_joint_steps", "shard_batch",
+           "replicate"]

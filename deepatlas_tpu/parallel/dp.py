@@ -54,34 +54,62 @@ def make_dp_seg_train_step(criterion: Callable, mesh: Mesh,
         def loss_fn(params):
             logits, new_bn = _apply_model(state, params, images, train=True)
             loss = criterion(logits.astype(jnp.float32), labels)
-            return loss, new_bn
+            return loss, (new_bn, logits)
 
-        (loss, new_bn), grads = jax.value_and_grad(
+        (loss, (new_bn, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         grads = lax.pmean(grads, axis_name)
         loss = lax.pmean(loss, axis_name)
         # cross-replica BN statistics (SURVEY.md §7 hard-parts list)
         new_bn = lax.pmean(new_bn, axis_name)
-        return loss, grads, new_bn
+        return loss, grads, new_bn, logits
 
     sharded_grads = shard_map(
         grads_fn, mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name)),
-        out_specs=P(),
+        out_specs=(P(), P(), P(), P(axis_name)),
         check_vma=False)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images, labels):
-        loss, grads, new_bn = sharded_grads(state, images, labels)
+        loss, grads, new_bn, logits = sharded_grads(state, images, labels)
         state = state.apply_gradients(grads, new_bn)
-        return state, loss
+        return state, loss, logits
 
     return train_step
 
 
 def make_dp_seg_eval_step(n_class: int, mesh: Mesh,
                           axis_name: str = "data"):
-    """Data-parallel eval: per-shard confusion sums, psum, dice on device."""
+    """Data-parallel eval: per-shard per-volume foreground dice, gathered
+    over ICI — same ``(dice (B, n_fg), logits)`` contract as the
+    single-device ``make_seg_eval_step`` (reference semantics: average of
+    per-volume dice, segmentation.py:190-197)."""
+    from ..metrics import multiclass_dice
+
+    def dice_fn(state: TrainState, images, labels):
+        logits, _ = _apply_model(state, state.params, images, train=False)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        dice = multiclass_dice(preds, labels.astype(jnp.int32), n_class)
+        return lax.all_gather(dice, axis_name, axis=0, tiled=True), logits
+
+    sharded = shard_map(
+        dice_fn, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=(P(), P(axis_name)),
+        check_vma=False)
+
+    @jax.jit
+    def eval_step(state: TrainState, images, labels):
+        return sharded(state, images, labels)
+
+    return eval_step
+
+
+def make_dp_confusion_eval_step(n_class: int, mesh: Mesh,
+                                axis_name: str = "data"):
+    """Global-confusion variant: one confusion matrix psum'd over the mesh,
+    dice computed from the merged counts (micro-averaged)."""
 
     def cm_fn(state: TrainState, images, labels):
         logits, _ = _apply_model(state, state.params, images, train=False)

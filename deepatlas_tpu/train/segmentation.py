@@ -145,8 +145,31 @@ class SegmentationExperiment(BaseExperiment):
         self.state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"],
             batch_stats=variables.get("batch_stats", {}), tx=self.tx)
-        self.train_step = make_seg_train_step(self.criterion)
-        self.eval_step = make_seg_eval_step(self.config["n_classes"])
+        if self.config.get("data_parallel") and jax.device_count() > 1:
+            # BASELINE.json config 5: batch sharded over the mesh's data
+            # axis, gradients pmean'd over ICI, params replicated
+            from ..parallel import (make_dp_seg_eval_step,
+                                    make_dp_seg_train_step, make_mesh,
+                                    replicate)
+            if self.config["batch_size"] % jax.device_count():
+                raise ValueError(
+                    f"data_parallel needs batch_size divisible by "
+                    f"{jax.device_count()} devices, got "
+                    f"{self.config['batch_size']}")
+            self.mesh = make_mesh()
+            self.state = replicate(self.state, self.mesh)
+            self.train_step = make_dp_seg_train_step(self.criterion,
+                                                     self.mesh)
+            if self.config.get("valid_batch_size", 1) % jax.device_count():
+                # ragged eval batches stay on the auto-partitioned jit path
+                self.eval_step = make_seg_eval_step(self.config["n_classes"])
+            else:
+                self.eval_step = make_dp_seg_eval_step(
+                    self.config["n_classes"], self.mesh)
+        else:
+            self.mesh = None
+            self.train_step = make_seg_train_step(self.criterion)
+            self.eval_step = make_seg_eval_step(self.config["n_classes"])
 
     def _maybe_resume(self):
         resume_dir = self.config.get("resume_dir")

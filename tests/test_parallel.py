@@ -71,7 +71,9 @@ class TestDPSeg:
         # fixture's arrays are shared across tests
         dp_state = replicate(state, mesh)
         batch = shard_batch({"image": images, "seg": labels}, mesh)
-        dp_state, dp_loss = dp_step(dp_state, batch["image"], batch["seg"])
+        dp_state, dp_loss, dp_logits = dp_step(dp_state, batch["image"],
+                                               batch["seg"])
+        assert dp_logits.shape[:1] == (8,)
 
         single_step = make_seg_train_step(criterion)
         ref_state, ref_loss, _ = single_step(
@@ -89,23 +91,40 @@ class TestDPSeg:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-3)
 
-    def test_dp_eval_matches_global_confusion(self, setup):
+    def test_dp_eval_matches_per_volume_dice(self, setup):
         model, state, criterion, images, labels = setup
         mesh = make_mesh(8)
         eval_step = make_dp_seg_eval_step(N_CLASSES, mesh)
         dp_state = replicate(state, mesh)
         batch = shard_batch({"image": images, "seg": labels}, mesh)
+        dp_dice, dp_logits = eval_step(dp_state, batch["image"],
+                                       batch["seg"])
+        assert dp_logits.shape[:1] == (8,)
+
+        logits = model.apply({"params": state.params,
+                              "batch_stats": state.batch_stats},
+                             jnp.asarray(images), train=False)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        ref = np.asarray(multiclass_dice(preds, jnp.asarray(labels),
+                                         N_CLASSES))
+        np.testing.assert_allclose(np.asarray(dp_dice), ref, atol=1e-5)
+
+    def test_dp_confusion_eval_matches_global_confusion(self, setup):
+        from deepatlas_tpu.parallel import make_dp_confusion_eval_step
+        model, state, criterion, images, labels = setup
+        mesh = make_mesh(8)
+        eval_step = make_dp_confusion_eval_step(N_CLASSES, mesh)
+        dp_state = replicate(state, mesh)
+        batch = shard_batch({"image": images, "seg": labels}, mesh)
         dp_dice = np.asarray(eval_step(dp_state, batch["image"],
                                        batch["seg"]))
-
-        # reference: merge the batch into ONE confusion matrix
         logits = model.apply({"params": state.params,
                               "batch_stats": state.batch_stats},
                              jnp.asarray(images), train=False)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         ref = np.asarray(multiclass_dice(
-            preds.reshape(1, -1, 8, 8), jnp.asarray(labels).reshape(1, -1, 8, 8),
-            N_CLASSES))[0]
+            preds.reshape(1, -1, 8, 8),
+            jnp.asarray(labels).reshape(1, -1, 8, 8), N_CLASSES))[0]
         np.testing.assert_allclose(dp_dice, ref, atol=1e-5)
 
 
@@ -130,3 +149,31 @@ class TestDPReg:
         a = jax.tree_util.tree_leaves(state.params)[0]
         b = jax.tree_util.tree_leaves(new_state.params)[0]
         assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+
+
+class TestDPExperiment:
+    def test_seg_experiment_data_parallel(self, tmp_path):
+        """End-to-end DP training through SegmentationExperiment on the
+        virtual 8-device mesh (BASELINE.json config 5)."""
+        from tests.test_train import make_mindboggle_corpus, tiny_config
+        from deepatlas_tpu.train import SegmentationExperiment
+
+        make_mindboggle_corpus(tmp_path, n=8)
+        config = tiny_config(tmp_path, n_epochs=1)
+        config.update(data_parallel=True, batch_size=8, valid_batch_size=8,
+                      samples_per_epoch=16, num_samples=4)
+        exp = SegmentationExperiment(config)
+        exp.train()
+        assert exp.mesh is not None and exp.mesh.shape == {"data": 8}
+        assert exp.best_score >= 0.0
+
+    def test_dp_batch_size_mismatch_raises(self, tmp_path):
+        from tests.test_train import make_mindboggle_corpus, tiny_config
+        from deepatlas_tpu.train import SegmentationExperiment
+
+        make_mindboggle_corpus(tmp_path)
+        config = tiny_config(tmp_path, n_epochs=1)
+        config.update(data_parallel=True, batch_size=3)
+        exp = SegmentationExperiment(config)
+        with pytest.raises(ValueError, match="divisible"):
+            exp.train()
