@@ -47,12 +47,16 @@ def main():
     fixed = jax.random.uniform(ks[1], shape, jnp.float32)
     labels = jax.random.randint(ks[2], shape[:4], 0, nc, jnp.int32)
 
-    # bf16 compute + per-block remat: the full-size training step fits one
-    # chip's HBM (f32 no-remat needs ~35G vs 16G available)
+    # bf16 compute: the full-size training step fits one chip's HBM without
+    # remat (f32 needs ~35G vs 16G; bf16 remat costs ~2x backward time)
+    # seg: per-block remat — the full seg step (grads + Adam buffers) is
+    # ~17.7G without it, just over one chip's 15.75G HBM
     seg_model = UNetLight(in_channel=1, n_classes=nc, bias=True, BN=True,
                           dtype=jnp.bfloat16, remat=True)
     # Pallas spatial transformer (pallas/warp.py): XLA's TPU gather lowering
     # runs ~7x slower on this op
+    # reg: remat needed too — the reg step + LNCC-backward intermediates
+    # exceed HBM without it
     reg_model = VoxelMorphCVPR2018(dtype=jnp.bfloat16, remat=True,
                                    use_pallas_warp=True, max_disp=8)
     seg_vars = seg_model.init(ks[3], moving, train=False)

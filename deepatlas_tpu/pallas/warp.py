@@ -113,12 +113,13 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
     yp = _ypad(r)
     hp = h + 2 * yp                      # y-padded slab height
     zi = pl.program_id(0)
+    ci = pl.program_id(1)                # channel (volumes share the grid)
     z0 = zi * tz
 
     s0 = jnp.clip(z0 - (r + 1), 0, jnp.maximum(d - s_planes, 0))
     slab[...] = jnp.zeros_like(slab)
     cp = pltpu.make_async_copy(
-        vol_ref.at[pl.ds(s0, s_planes), :, :],
+        vol_ref.at[ci, pl.ds(s0, s_planes), :, :],
         slab.at[:, pl.ds(yp, h), :], sem)
     cp.start()
 
@@ -168,7 +169,7 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
 
     acc = jnp.zeros(gz.shape, jnp.float32)
     acc = jax.lax.fori_loop(s_lo, s_hi + 1, z_body, acc)
-    out_ref[...] = acc
+    out_ref[...] = acc[None]
 
 
 # ------------------------------------------------------- backward: grid
@@ -180,18 +181,19 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref,
     yp = _ypad(r)
     hp = h + 2 * yp
     zi = pl.program_id(0)
+    ci = pl.program_id(1)
     z0 = zi * tz
     s0 = jnp.clip(z0 - (r + 1), 0, jnp.maximum(d - s_planes, 0))
     slab[...] = jnp.zeros_like(slab)
     cp = pltpu.make_async_copy(
-        vol_ref.at[pl.ds(s0, s_planes), :, :],
+        vol_ref.at[ci, pl.ds(s0, s_planes), :, :],
         slab.at[:, pl.ds(yp, h), :], sem)
     cp.start()
 
     gz = gz_ref[...] - s0.astype(jnp.float32)
     gy = gy_ref[...]
     gx = gx_ref[...]
-    ct = ct_ref[...]
+    ct = ct_ref[0]
 
     rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)
     ty = gy - rows.astype(jnp.float32)
@@ -237,9 +239,19 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref,
     zero = jnp.zeros(gz.shape, jnp.float32)
     az, ay, ax = jax.lax.fori_loop(s_lo, s_hi + 1, z_body,
                                    (zero, zero, zero))
-    dgz_ref[...] = az
-    dgy_ref[...] = ay
-    dgx_ref[...] = ax
+    # dgrid sums over channels; the channel axis is the fastest-varying
+    # grid dim so the output block stays resident across the accumulation
+    @pl.when(ci == 0)
+    def _():
+        dgz_ref[...] = az
+        dgy_ref[...] = ay
+        dgx_ref[...] = ax
+
+    @pl.when(ci > 0)
+    def _():
+        dgz_ref[...] += az
+        dgy_ref[...] += ay
+        dgx_ref[...] += ax
 
 
 def _pad_last(x: jnp.ndarray, wp: int) -> jnp.ndarray:
@@ -261,8 +273,12 @@ def _vox_coords(grid: jnp.ndarray, d: int, h: int, w: int):
 
 def _fwd_single(vol: jnp.ndarray, gz, gy, gx, *, tz: int, r: int,
                 interpret: bool) -> jnp.ndarray:
-    """vol (D,H,W) f32, coords (D,H,W) voxel units -> warped (D,H,W)."""
-    d, h, w = vol.shape
+    """vol (C,D,H,W) f32, coords (D,H,W) voxel units -> warped (C,D,H,W).
+
+    Channels ride a second (fastest-varying) grid axis sharing the
+    coordinate blocks — one compiled kernel for any C (the one-hot anatomy
+    warps of joint training are C = n_classes)."""
+    nc, d, h, w = vol.shape
     wp = _ceil_to(w, LANE)
     hb = _ceil_to(h, 8)
     n_tiles = -(-d // tz)
@@ -273,39 +289,36 @@ def _fwd_single(vol: jnp.ndarray, gz, gy, gx, *, tz: int, r: int,
         raise ValueError(f"volume depth {d} < slab {s_planes}; use the XLA "
                          f"path for tiny volumes")
 
-    volp = _pad_last(jnp.pad(vol, [(0, 0), (0, hb - h), (0, 0)]), wp)
+    volp = _pad_last(jnp.pad(vol, [(0, 0), (0, 0), (0, hb - h), (0, 0)]), wp)
     coords = [_pad_last(jnp.pad(c, [(0, dp - d), (0, hb - h), (0, 0)],
                                 mode="edge"), wp)
               for c in (gz, gy, gx)]
 
     kern = functools.partial(_fwd_kernel, d=d, h=hb, w=w, wp=wp, tz=tz, r=r)
+    cspec = pl.BlockSpec((tz, hb, wp), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
+        grid=(n_tiles, nc),
+        in_specs=[cspec, cspec, cspec,
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, tz, hb, wp), lambda i, c: (c, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((dp, hb, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nc, dp, hb, wp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((s_planes, hp_slab, wp), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*coords, volp)
-    return out[:d, :h, :w]
+    return out[:, :d, :h, :w]
 
 
 def _bwd_grid_single(vol, gz, gy, gx, ct, *, tz: int, r: int,
                      interpret: bool):
-    d, h, w = vol.shape
+    """vol (C,D,H,W), ct (C,D,H,W) -> (dgz, dgy, dgx) each (D,H,W), summed
+    over channels in-kernel."""
+    nc, d, h, w = vol.shape
     wp = _ceil_to(w, LANE)
     hb = _ceil_to(h, 8)
     n_tiles = -(-d // tz)
@@ -313,21 +326,23 @@ def _bwd_grid_single(vol, gz, gy, gx, ct, *, tz: int, r: int,
     s_planes = tz + 2 * (r + 1)
     hp_slab = hb + 2 * _ypad(r)
 
-    volp = _pad_last(jnp.pad(vol, [(0, 0), (0, hb - h), (0, 0)]), wp)
+    volp = _pad_last(jnp.pad(vol, [(0, 0), (0, 0), (0, hb - h), (0, 0)]), wp)
     padded = [_pad_last(jnp.pad(c, [(0, dp - d), (0, hb - h), (0, 0)],
                                 mode="edge"), wp)
               for c in (gz, gy, gx)]
-    padded.append(_pad_last(jnp.pad(ct, [(0, dp - d), (0, hb - h), (0, 0)]),
-                            wp))
+    padded.append(_pad_last(
+        jnp.pad(ct, [(0, 0), (0, dp - d), (0, hb - h), (0, 0)]), wp))
 
     kern = functools.partial(_bwd_grid_kernel, d=d, h=hb, w=w, wp=wp, tz=tz,
                              r=r)
-    spec = pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
+    spec = pl.BlockSpec((tz, hb, wp), lambda i, c: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    ct_spec = pl.BlockSpec((1, tz, hb, wp), lambda i, c: (c, i, 0, 0),
+                           memory_space=pltpu.VMEM)
     dgz, dgy, dgx = pl.pallas_call(
         kern,
-        grid=(n_tiles,),
-        in_specs=[spec, spec, spec, spec,
+        grid=(n_tiles, nc),
+        in_specs=[spec, spec, spec, ct_spec,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(spec, spec, spec),
         out_shape=tuple(jax.ShapeDtypeStruct((dp, hb, wp), jnp.float32)
@@ -344,8 +359,8 @@ def _bwd_grid_single(vol, gz, gy, gx, ct, *, tz: int, r: int,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _warp3d(vol: jnp.ndarray, grid: jnp.ndarray, tz: int, r: int,
             interpret: bool) -> jnp.ndarray:
-    """(D,H,W) x (D,H,W,3 normalized xyz) -> (D,H,W), zero padding."""
-    d, h, w = vol.shape
+    """(C,D,H,W) x (D,H,W,3 normalized xyz) -> (C,D,H,W), zero padding."""
+    _, d, h, w = vol.shape
     gz, gy, gx = _vox_coords(grid, d, h, w)
     return _fwd_single(vol.astype(jnp.float32), gz, gy, gx, tz=tz, r=r,
                        interpret=interpret)
@@ -358,7 +373,7 @@ def _warp3d_fwd(vol, grid, tz, r, interpret):
 
 def _warp3d_bwd(tz, r, interpret, res, ct):
     vol, grid = res
-    d, h, w = vol.shape
+    _, d, h, w = vol.shape
     gz, gy, gx = _vox_coords(grid, d, h, w)
     dgz, dgy, dgx = _bwd_grid_single(vol.astype(jnp.float32), gz, gy, gx,
                                      ct.astype(jnp.float32), tz=tz, r=r,
@@ -374,11 +389,11 @@ def _warp3d_bwd(tz, r, interpret, res, ct):
     from ..ops.warp import grid_sample as xla_grid_sample
 
     def f(v):
-        return xla_grid_sample(v[None, ..., None], grid[None],
-                               mode="trilinear")[0, ..., 0]
+        vb = jnp.moveaxis(v, 0, -1)[None]      # (1, D, H, W, C)
+        return xla_grid_sample(vb, grid[None], mode="trilinear")[0]
 
     _, pullback = jax.vjp(f, vol)
-    dvol = pullback(ct.astype(vol.dtype))[0]
+    dvol = pullback(jnp.moveaxis(ct, 0, -1).astype(vol.dtype))[0]
     return dvol, dgrid
 
 
@@ -424,10 +439,9 @@ def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
         return xla_grid_sample(vol, grid, mode="trilinear")
     outs = []
     for bi in range(b):
-        for ci in range(c):
-            outs.append(_warp3d(vol[bi, ..., ci], grid[bi], z_tile, max_disp,
-                                interpret))
-    out = jnp.stack(outs, axis=0).reshape(b, c, d, h, w)
+        vol_cf = jnp.moveaxis(vol[bi], -1, 0)          # (C, D, H, W)
+        outs.append(_warp3d(vol_cf, grid[bi], z_tile, max_disp, interpret))
+    out = jnp.stack(outs, axis=0)                       # (B, C, D, H, W)
     return jnp.moveaxis(out, 1, -1).astype(vol.dtype)
 
 

@@ -152,13 +152,24 @@ class DeepAtlasExperiment(BaseExperiment):
             batch_stats=reg_vars.get("batch_stats", {}), tx=self.reg_tx)
 
         n_class = self.config["n_classes"]
+        if self.config.get("use_pallas_warp", True):
+            # the anatomy warps move C = n_class one-hot volumes; XLA's TPU
+            # gather is prohibitive there (pallas/warp.py docstring)
+            from functools import partial
+            from ..pallas import pallas_grid_sample
+            warp_fn = partial(pallas_grid_sample,
+                              max_disp=self.config.get("max_disp", 8))
+        else:
+            from ..train.reg_steps import grid_sample as warp_fn
         self.reg_step = make_joint_reg_step(
             self.sim_loss, self.reg_loss,
             self.config.get("reg_weight", 1.0),
-            self.config.get("anatomy_weight", 1.0), n_class)
+            self.config.get("anatomy_weight", 1.0), n_class,
+            warp_fn=warp_fn)
         self.seg_step = make_joint_seg_step(
             self.sup_loss, self.config.get("anatomy_weight", 1.0),
-            self.config.get("supervised_weight", 1.0), n_class)
+            self.config.get("supervised_weight", 1.0), n_class,
+            warp_fn=warp_fn)
         self.seg_eval_step = make_seg_eval_step(n_class)
         self.reg_eval_step = make_reg_eval_step(n_class)
 

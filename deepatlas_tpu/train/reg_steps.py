@@ -22,7 +22,12 @@ import jax.numpy as jnp
 
 from ..losses import soft_dice_on_probs
 from ..metrics import multiclass_dice
-from ..ops import one_hot, grid_sample, warp_labels
+from functools import partial as _partial
+
+from ..ops import one_hot, warp_labels
+from ..ops import grid_sample as _xla_grid_sample
+
+grid_sample = _partial(_xla_grid_sample, mode="trilinear")
 from .steps import TrainState, _apply_model
 
 
@@ -70,10 +75,14 @@ def make_reg_eval_step(n_class: int):
 
 def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
                         reg_weight: float, anatomy_weight: float,
-                        n_class: int):
+                        n_class: int, warp_fn: Callable = grid_sample):
     """Reg-phase step of joint training: updates the reg net against
     similarity + smoothness + anatomy consistency, with the (frozen) seg net
     filling in missing labels.
+
+    ``warp_fn(vol, grid)`` warps the one-hot anatomy (default: the XLA
+    composition; pass ``pallas_grid_sample`` for the TPU kernel — XLA's
+    gather is prohibitive at C = n_class).
 
     Signature: (reg_state, seg_state, moving, fixed, moving_seg, fixed_seg,
     moving_has_label, fixed_has_label) -> (reg_state, metrics)
@@ -101,7 +110,7 @@ def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
             sim = sim_loss(warped.astype(jnp.float32),
                            fixed.astype(jnp.float32))
             reg = reg_loss(disp.astype(jnp.float32))
-            warped_onehot = grid_sample(onehot_m, deform, mode="trilinear")
+            warped_onehot = warp_fn(onehot_m, deform)
             anat = soft_dice_on_probs(warped_onehot, lab_f, n_class)
             return sim + reg_weight * reg + anatomy_weight * anat, \
                 (sim, reg, anat)
@@ -116,7 +125,8 @@ def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
 
 
 def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
-                        supervised_weight: float, n_class: int):
+                        supervised_weight: float, n_class: int,
+                        warp_fn: Callable = grid_sample):
     """Seg-phase step of joint training: updates the seg net against the
     supervised loss (where labels exist) + anatomy consistency through the
     (frozen) reg net's warp.
@@ -148,7 +158,7 @@ def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
             m_probs = jnp.where(
                 moving_has_label[:, None, None, None, None], onehot_m,
                 probs_m)
-            warped_m = grid_sample(m_probs, deform, mode="trilinear")
+            warped_m = warp_fn(m_probs, deform)
             onehot_f = one_hot(fixed_seg.astype(jnp.int32), n_class)
             f_probs = jnp.where(
                 fixed_has_label[:, None, None, None, None], onehot_f,
