@@ -6,5 +6,6 @@ HBM roofline.  The XLA path remains the exactness reference and the fallback
 for unbounded displacement fields and tiny volumes.
 """
 from .warp import pallas_grid_sample, pallas_warp
+from .warp_lncc import warp_lncc_loss
 
-__all__ = ["pallas_grid_sample", "pallas_warp"]
+__all__ = ["pallas_grid_sample", "pallas_warp", "warp_lncc_loss"]

@@ -123,3 +123,34 @@ def test_pallas_warp_displacement_api(rng):
     out = pallas_warp(vol, disp, max_disp=R, z_tile=TZ, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
                                rtol=1e-4)
+
+
+def test_multichannel_gradients(rng):
+    """C>1: dgrid accumulates across the channel grid axis."""
+    c = 3
+    vol = jnp.asarray(rng.rand(1, D, H, W, c).astype(np.float32))
+    disp = jnp.asarray(make_field(rng, 2.0))
+    grid0 = disp + identity_grid_batch((1, D, H, W, 3))
+    t = jnp.asarray(rng.rand(1, D, H, W, c).astype(np.float32))
+
+    g_ref = jax.grad(lambda g: jnp.sum(
+        grid_sample(vol, g, mode="trilinear") * t))(grid0)
+    g_pal = jax.grad(lambda g: jnp.sum(
+        pallas_grid_sample(vol, g, max_disp=R, z_tile=TZ,
+                           interpret=True) * t))(grid0)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_fused_warp_lncc_matches_composition(rng):
+    from deepatlas_tpu.pallas import warp_lncc_loss
+    from deepatlas_tpu.losses import get_loss_function
+    vol = jnp.asarray(rng.rand(1, D, H, W, 1).astype(np.float32))
+    fixed = jnp.asarray(rng.rand(1, D, H, W, 1).astype(np.float32))
+    disp = jnp.asarray(make_field(rng, 1.5))
+    grid0 = disp + identity_grid_batch((1, D, H, W, 3))
+    fused = float(warp_lncc_loss(vol, fixed, grid0, filter_size=5,
+                                 max_disp=R, z_tile=TZ, interpret=True))
+    ln = get_loss_function("lncc")(filter_size=5)
+    ref = float(ln(grid_sample(vol, grid0, mode="trilinear"), fixed))
+    np.testing.assert_allclose(fused, ref, atol=1e-5)
