@@ -26,6 +26,10 @@ def _flatten_spatial(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(x, -1, 1).reshape(b, c, -1)
 
 
+_SPATIAL = (1, 2, 3)  # reduce over D, H, W directly — a channel-last
+# transpose at 32 classes x full volume is a >1 GB HBM copy
+
+
 def _class_weights(target_volume: jnp.ndarray, weight_type: str,
                    eps: float) -> jnp.ndarray:
     """Per-(batch, class) weights, normalized by the global max
@@ -59,24 +63,24 @@ def dice_loss_multiclass(source: jnp.ndarray, target: jnp.ndarray,
     """
     if softmax:
         source = jax.nn.softmax(source, axis=-1)
-    src = _flatten_spatial(source)
     if target.ndim == source.ndim - 1:
-        tgt = _flatten_spatial(one_hot(target, n_class, dtype=source.dtype))
+        tgt = one_hot(target, n_class, dtype=source.dtype)
     elif target.ndim == source.ndim and target.shape[-1] == source.shape[-1]:
-        tgt = _flatten_spatial(target.astype(source.dtype))
+        tgt = target.astype(source.dtype)
     else:
         raise ValueError(
             f"Incorrect target shape {target.shape} for source {source.shape}")
+    src = source
 
     if no_bg:
-        src = src[:, 1:, :]
-        tgt = tgt[:, 1:, :]
+        src = src[..., 1:]
+        tgt = tgt[..., 1:]
 
-    source_volume = src.sum(axis=2)
-    target_volume = tgt.sum(axis=2)
+    source_volume = src.sum(axis=_SPATIAL, dtype=jnp.float32)
+    target_volume = tgt.sum(axis=_SPATIAL, dtype=jnp.float32)
     weights = _class_weights(target_volume, weight_type, eps)
 
-    intersection = (src * tgt).sum(axis=2)
+    intersection = (src * tgt).sum(axis=_SPATIAL, dtype=jnp.float32)
     scores = (2.0 * intersection + eps) / (source_volume + target_volume
                                            + 2.0 * eps)
     return 1.0 - jnp.sum(weights * scores) / jnp.sum(weights)
@@ -90,11 +94,11 @@ def dice_loss_on_label(source: jnp.ndarray, target: jnp.ndarray,
     Args:
       source, target: ``(B, D, H, W)`` integer masks.
     """
-    src = _flatten_spatial(one_hot(source, n_class))[:, 1:, :]
-    tgt = _flatten_spatial(one_hot(target, n_class))[:, 1:, :]
+    src = one_hot(source, n_class)[..., 1:]
+    tgt = one_hot(target, n_class)[..., 1:]
 
-    source_volume = src.sum(axis=2)
-    target_volume = tgt.sum(axis=2)
+    source_volume = src.sum(axis=_SPATIAL)
+    target_volume = tgt.sum(axis=_SPATIAL)
 
     if weight_type == "Simple":
         weights = 1.0 / target_volume
@@ -104,7 +108,7 @@ def dice_loss_on_label(source: jnp.ndarray, target: jnp.ndarray,
     else:
         raise ValueError(f"Unknown weight_type {weight_type!r}")
 
-    intersection = (src * tgt).sum(axis=2)
+    intersection = (src * tgt).sum(axis=_SPATIAL)
     scores = (2.0 * intersection * weights) / (
         weights * (source_volume + target_volume) + eps)
     return 1.0 - jnp.mean(scores)
@@ -120,10 +124,10 @@ def soft_dice_on_probs(source_probs: jnp.ndarray, target: jnp.ndarray,
     field — the reference's DiceLossOnLabel is not differentiable through the
     warp, so DeepAtlas-style joint training needs this soft form.
     """
-    src = _flatten_spatial(source_probs)[:, 1:, :]
-    tgt = _flatten_spatial(one_hot(target, n_class,
-                                   dtype=source_probs.dtype))[:, 1:, :]
-    intersection = (src * tgt).sum(axis=2)
-    denom = src.sum(axis=2) + tgt.sum(axis=2)
+    src = source_probs[..., 1:]
+    tgt = one_hot(target, n_class, dtype=source_probs.dtype)[..., 1:]
+    intersection = (src * tgt).sum(axis=_SPATIAL, dtype=jnp.float32)
+    denom = src.sum(axis=_SPATIAL, dtype=jnp.float32) + \
+        tgt.sum(axis=_SPATIAL, dtype=jnp.float32)
     scores = 2.0 * intersection / (denom + eps)
     return 1.0 - jnp.mean(scores)

@@ -156,8 +156,8 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
             k = jnp.mod(hp - (yp + dy), hp)
             plane = jnp.broadcast_to(pltpu.roll(slab[s], k, 0)[0:h],
                                      gz.shape)
-            v0 = _lane_gather(plane, ix0c)
-            v1 = _lane_gather(plane, ix1c)
+            v0 = _lane_gather(plane, ix0c).astype(jnp.float32)
+            v1 = _lane_gather(plane, ix1c).astype(jnp.float32)
             xv = jnp.where(x_ok0, (1.0 - fx) * v0, 0.0) + \
                 jnp.where(x_ok1, fx * v1, 0.0)
             y_src = rows + dy
@@ -169,7 +169,7 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
 
     acc = jnp.zeros(gz.shape, jnp.float32)
     acc = jax.lax.fori_loop(s_lo, s_hi + 1, z_body, acc)
-    out_ref[...] = acc[None]
+    out_ref[...] = acc.astype(out_ref.dtype)[None]
 
 
 # ------------------------------------------------------- backward: grid
@@ -193,7 +193,7 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref,
     gz = gz_ref[...] - s0.astype(jnp.float32)
     gy = gy_ref[...]
     gx = gx_ref[...]
-    ct = ct_ref[0]
+    ct = ct_ref[0].astype(jnp.float32)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)
     ty = gy - rows.astype(jnp.float32)
@@ -220,8 +220,12 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref,
             k = jnp.mod(hp - (yp + dy), hp)
             plane = jnp.broadcast_to(pltpu.roll(slab[s], k, 0)[0:h],
                                      gz.shape)
-            v0 = jnp.where(x_ok0, _lane_gather(plane, ix0c), 0.0)
-            v1 = jnp.where(x_ok1, _lane_gather(plane, ix1c), 0.0)
+            v0 = jnp.where(x_ok0,
+                           _lane_gather(plane, ix0c).astype(jnp.float32),
+                           0.0)
+            v1 = jnp.where(x_ok1,
+                           _lane_gather(plane, ix1c).astype(jnp.float32),
+                           0.0)
             xv = (1.0 - fx) * v0 + fx * v1
             dxv = v1 - v0
             ty_f = ty - dy.astype(jnp.float32)
@@ -294,6 +298,7 @@ def _fwd_single(vol: jnp.ndarray, gz, gy, gx, *, tz: int, r: int,
                                 mode="edge"), wp)
               for c in (gz, gy, gx)]
 
+    vt = vol.dtype  # values dtype (f32 or bf16); accumulation stays f32
     kern = functools.partial(_fwd_kernel, d=d, h=hb, w=w, wp=wp, tz=tz, r=r)
     cspec = pl.BlockSpec((tz, hb, wp), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -304,8 +309,8 @@ def _fwd_single(vol: jnp.ndarray, gz, gy, gx, *, tz: int, r: int,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, tz, hb, wp), lambda i, c: (c, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nc, dp, hb, wp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((s_planes, hp_slab, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nc, dp, hb, wp), vt),
+        scratch_shapes=[pltpu.VMEM((s_planes, hp_slab, wp), vt),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -347,7 +352,7 @@ def _bwd_grid_single(vol, gz, gy, gx, ct, *, tz: int, r: int,
         out_specs=(spec, spec, spec),
         out_shape=tuple(jax.ShapeDtypeStruct((dp, hb, wp), jnp.float32)
                         for _ in range(3)),
-        scratch_shapes=[pltpu.VMEM((s_planes, hp_slab, wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((s_planes, hp_slab, wp), vol.dtype),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -362,8 +367,7 @@ def _warp3d(vol: jnp.ndarray, grid: jnp.ndarray, tz: int, r: int,
     """(C,D,H,W) x (D,H,W,3 normalized xyz) -> (C,D,H,W), zero padding."""
     _, d, h, w = vol.shape
     gz, gy, gx = _vox_coords(grid, d, h, w)
-    return _fwd_single(vol.astype(jnp.float32), gz, gy, gx, tz=tz, r=r,
-                       interpret=interpret)
+    return _fwd_single(vol, gz, gy, gx, tz=tz, r=r, interpret=interpret)
 
 
 def _warp3d_fwd(vol, grid, tz, r, interpret):
@@ -375,8 +379,7 @@ def _warp3d_bwd(tz, r, interpret, res, ct):
     vol, grid = res
     _, d, h, w = vol.shape
     gz, gy, gx = _vox_coords(grid, d, h, w)
-    dgz, dgy, dgx = _bwd_grid_single(vol.astype(jnp.float32), gz, gy, gx,
-                                     ct.astype(jnp.float32), tz=tz, r=r,
+    dgz, dgy, dgx = _bwd_grid_single(vol, gz, gy, gx, ct, tz=tz, r=r,
                                      interpret=interpret)
     # chain voxel coords -> normalized grid (x,y,z ordering, ops/warp.py)
     dgrid = jnp.stack([dgx * ((w - 1) / 2.0),

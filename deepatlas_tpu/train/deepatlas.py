@@ -154,22 +154,25 @@ class DeepAtlasExperiment(BaseExperiment):
         n_class = self.config["n_classes"]
         if self.config.get("use_pallas_warp", True):
             # the anatomy warps move C = n_class one-hot volumes; XLA's TPU
-            # gather is prohibitive there (pallas/warp.py docstring)
+            # gather is prohibitive there (pallas/warp.py docstring), and
+            # the one-hot values ride bf16 (coords stay f32; dice sums f32)
             from functools import partial
             from ..pallas import pallas_grid_sample
             warp_fn = partial(pallas_grid_sample,
                               max_disp=self.config.get("max_disp", 8))
+            anatomy_dtype = jnp.bfloat16
         else:
             from ..train.reg_steps import grid_sample as warp_fn
+            anatomy_dtype = None
         self.reg_step = make_joint_reg_step(
             self.sim_loss, self.reg_loss,
             self.config.get("reg_weight", 1.0),
             self.config.get("anatomy_weight", 1.0), n_class,
-            warp_fn=warp_fn)
+            warp_fn=warp_fn, anatomy_dtype=anatomy_dtype)
         self.seg_step = make_joint_seg_step(
             self.sup_loss, self.config.get("anatomy_weight", 1.0),
             self.config.get("supervised_weight", 1.0), n_class,
-            warp_fn=warp_fn)
+            warp_fn=warp_fn, anatomy_dtype=anatomy_dtype)
         self.seg_eval_step = make_seg_eval_step(n_class)
         self.reg_eval_step = make_reg_eval_step(n_class)
 

@@ -75,7 +75,8 @@ def make_reg_eval_step(n_class: int):
 
 def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
                         reg_weight: float, anatomy_weight: float,
-                        n_class: int, warp_fn: Callable = grid_sample):
+                        n_class: int, warp_fn: Callable = grid_sample,
+                        anatomy_dtype=None):
     """Reg-phase step of joint training: updates the reg net against
     similarity + smoothness + anatomy consistency, with the (frozen) seg net
     filling in missing labels.
@@ -102,7 +103,8 @@ def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
                           moving_seg.astype(jnp.int32), pred_m)
         lab_f = jnp.where(fixed_has_label[:, None, None, None],
                           fixed_seg.astype(jnp.int32), pred_f)
-        onehot_m = one_hot(lab_m, n_class)
+        onehot_m = one_hot(lab_m, n_class,
+                           dtype=anatomy_dtype or jnp.float32)
 
         def loss_fn(params):
             disp, warped, deform = reg_state.apply_fn(
@@ -110,6 +112,8 @@ def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
             sim = sim_loss(warped.astype(jnp.float32),
                            fixed.astype(jnp.float32))
             reg = reg_loss(disp.astype(jnp.float32))
+            # NB: deform stays f32 — bf16 voxel coordinates lose ~0.5 voxel
+            # of precision; only the warped *values* may be low-precision
             warped_onehot = warp_fn(onehot_m, deform)
             anat = soft_dice_on_probs(warped_onehot, lab_f, n_class)
             return sim + reg_weight * reg + anatomy_weight * anat, \
@@ -126,7 +130,8 @@ def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
 
 def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
                         supervised_weight: float, n_class: int,
-                        warp_fn: Callable = grid_sample):
+                        warp_fn: Callable = grid_sample,
+                        anatomy_dtype=None):
     """Seg-phase step of joint training: updates the seg net against the
     supervised loss (where labels exist) + anatomy consistency through the
     (frozen) reg net's warp.
@@ -149,25 +154,31 @@ def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
             logits_f, new_bn2 = _apply_model(
                 seg_state.replace(batch_stats=new_bn), params, fixed,
                 train=True)
-            probs_m = jax.nn.softmax(logits_m.astype(jnp.float32), axis=-1)
-            probs_f = jax.nn.softmax(logits_f.astype(jnp.float32), axis=-1)
+            adt = anatomy_dtype or jnp.float32
+            probs_m = jax.nn.softmax(logits_m.astype(jnp.float32),
+                                     axis=-1).astype(adt)
+            probs_f = jax.nn.softmax(logits_f.astype(jnp.float32),
+                                     axis=-1).astype(adt)
 
             # anatomy: moving anatomy (GT one-hot or predicted probs) warped
             # onto fixed anatomy (GT labels or predicted probs)
-            onehot_m = one_hot(moving_seg.astype(jnp.int32), n_class)
+            onehot_m = one_hot(moving_seg.astype(jnp.int32), n_class,
+                               dtype=adt)
             m_probs = jnp.where(
                 moving_has_label[:, None, None, None, None], onehot_m,
                 probs_m)
             warped_m = warp_fn(m_probs, deform)
-            onehot_f = one_hot(fixed_seg.astype(jnp.int32), n_class)
+            onehot_f = one_hot(fixed_seg.astype(jnp.int32), n_class,
+                               dtype=adt)
             f_probs = jnp.where(
                 fixed_has_label[:, None, None, None, None], onehot_f,
                 probs_f)
-            # soft-soft dice over foreground classes
+            # soft-soft dice over foreground classes (f32 accumulation)
             inter = jnp.sum(warped_m[..., 1:] * f_probs[..., 1:],
-                            axis=(1, 2, 3))
-            denom = jnp.sum(warped_m[..., 1:], axis=(1, 2, 3)) + \
-                jnp.sum(f_probs[..., 1:], axis=(1, 2, 3))
+                            axis=(1, 2, 3), dtype=jnp.float32)
+            denom = jnp.sum(warped_m[..., 1:], axis=(1, 2, 3),
+                            dtype=jnp.float32) + \
+                jnp.sum(f_probs[..., 1:], axis=(1, 2, 3), dtype=jnp.float32)
             anat = 1.0 - jnp.mean(2.0 * inter / (denom + 1e-5))
 
             # supervised loss on whichever volumes have labels
