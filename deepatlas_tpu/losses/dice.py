@@ -20,12 +20,6 @@ import jax.numpy as jnp
 from ..ops import one_hot
 
 
-def _flatten_spatial(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, D, H, W, C) -> (B, C, P)."""
-    b, c = x.shape[0], x.shape[-1]
-    return jnp.moveaxis(x, -1, 1).reshape(b, c, -1)
-
-
 _SPATIAL = (1, 2, 3)  # reduce over D, H, W directly — a channel-last
 # transpose at 32 classes x full volume is a >1 GB HBM copy
 
