@@ -154,10 +154,11 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
             # tpu.dynamic_rotate takes any shift.  Wrapped rows carry the
             # zeroed padding and are masked by the y-validity weight.
             k = jnp.mod(hp - (yp + dy), hp)
-            plane = jnp.broadcast_to(pltpu.roll(slab[s], k, 0)[0:h],
-                                     gz.shape)
-            v0 = _lane_gather(plane, ix0c).astype(jnp.float32)
-            v1 = _lane_gather(plane, ix1c).astype(jnp.float32)
+            # tpu.dynamic_rotate is 32-bit only: cast the plane up first
+            plane = jnp.broadcast_to(
+                pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h], gz.shape)
+            v0 = _lane_gather(plane, ix0c)
+            v1 = _lane_gather(plane, ix1c)
             xv = jnp.where(x_ok0, (1.0 - fx) * v0, 0.0) + \
                 jnp.where(x_ok1, fx * v1, 0.0)
             y_src = rows + dy
@@ -218,14 +219,10 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref,
         def y_body(dy, accs):
             az, ay, ax = accs
             k = jnp.mod(hp - (yp + dy), hp)
-            plane = jnp.broadcast_to(pltpu.roll(slab[s], k, 0)[0:h],
-                                     gz.shape)
-            v0 = jnp.where(x_ok0,
-                           _lane_gather(plane, ix0c).astype(jnp.float32),
-                           0.0)
-            v1 = jnp.where(x_ok1,
-                           _lane_gather(plane, ix1c).astype(jnp.float32),
-                           0.0)
+            plane = jnp.broadcast_to(
+                pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h], gz.shape)
+            v0 = jnp.where(x_ok0, _lane_gather(plane, ix0c), 0.0)
+            v1 = jnp.where(x_ok1, _lane_gather(plane, ix1c), 0.0)
             xv = (1.0 - fx) * v0 + fx * v1
             dxv = v1 - v0
             ty_f = ty - dy.astype(jnp.float32)
@@ -386,17 +383,14 @@ def _warp3d_bwd(tz, r, interpret, res, ct):
                        dgy * ((h - 1) / 2.0),
                        dgz * ((d - 1) / 2.0)], axis=-1).astype(grid.dtype)
 
-    # dvol: exact adjoint via XLA scatter (autodiff of the reference XLA
-    # composition).  This runs once per backward and is the remaining
-    # XLA-bound piece; a Pallas splat kernel is tracked as follow-up.
-    from ..ops.warp import grid_sample as xla_grid_sample
+    # dvol: the trilinear splat (adjoint of the warp) as a Pallas kernel —
+    # XLA's scatter-add lowering runs ~1 s/channel at MB101 size.  The splat
+    # bounds |disp| by max_disp on all axes (the forward's x-gather is
+    # exact; fields beyond the bound belong on the XLA path anyway).
+    from .splat import pallas_splat
 
-    def f(v):
-        vb = jnp.moveaxis(v, 0, -1)[None]      # (1, D, H, W, C)
-        return xla_grid_sample(vb, grid[None], mode="trilinear")[0]
-
-    _, pullback = jax.vjp(f, vol)
-    dvol = pullback(jnp.moveaxis(ct, 0, -1).astype(vol.dtype))[0]
+    dvol = pallas_splat(ct, gz, gy, gx, d=d, h=h, w=w, tz=tz, r=r,
+                        interpret=interpret).astype(vol.dtype)
     return dvol, dgrid
 
 
