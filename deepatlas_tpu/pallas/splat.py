@@ -45,57 +45,63 @@ def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, dvol_ref,
     for cp in cps:
         cp.wait()
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (s_out, h, wp), 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (s_out, h, wp), 2)
-    gz = gz_s[...]
-    tyf = gy_s[...] - rows.astype(jnp.float32)
-    txf = gx_s[...] - cols.astype(jnp.float32)
-    ct = ct_s[...].astype(jnp.float32)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (h, wp), 0)
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (h, wp), 1)
+    planes = jax.lax.broadcasted_iota(
+        jnp.int32, (s_out, h, wp), 0).astype(jnp.float32)
 
-    # adaptive offset ranges (delta = p - q over the tent support)
-    dy_lo, dy_hi = _range_from(jnp.min(-tyf) - 1.0, jnp.max(-tyf) + 1.0,
-                               -(r + 1), r + 1)
-    dx_lo, dx_hi = _range_from(jnp.min(-txf) - 1.0, jnp.max(-txf) + 1.0,
-                               -(r + 1), r + 1)
-    # per-output-plane gz bounds for the z predicate
-    gz_min = jnp.min(gz, axis=(1, 2))
-    gz_max = jnp.max(gz, axis=(1, 2))
+    # global scalar bounds (Mosaic cannot dynamically index materialized
+    # vectors, so all per-plane selection below reads the *refs* at a traced
+    # plane index, and the z iteration range comes from these scalars)
+    gz_all = gz_s[...]
+    zoff = gz_all - (planes + o0.astype(jnp.float32))   # z-displacements
+    zoff_min = jnp.min(zoff)
+    zoff_max = jnp.max(zoff)
+    ty_all = gy_s[...] - jax.lax.broadcasted_iota(
+        jnp.int32, (s_out, h, wp), 1).astype(jnp.float32)
+    tx_all = gx_s[...] - jax.lax.broadcasted_iota(
+        jnp.int32, (s_out, h, wp), 2).astype(jnp.float32)
+    dy_lo, dy_hi = _range_from(jnp.min(-ty_all) - 1.0,
+                               jnp.max(-ty_all) + 1.0, -(r + 1), r + 1)
+    dx_lo, dx_hi = _range_from(jnp.min(-tx_all) - 1.0,
+                               jnp.max(-tx_all) + 1.0, -(r + 1), r + 1)
 
     for sl in range(tz):
-        s_global = (t0 + sl).astype(jnp.float32)
+        s_global = t0 + sl
+        sf = s_global.astype(jnp.float32)
+        # output planes k (slab-local) that can reach source plane s_global:
+        # gz(k) = o0 + k + zoff in (s-1, s+1)
+        k_lo = jnp.clip(s_global - o0
+                        - jnp.ceil(zoff_max).astype(jnp.int32) - 1,
+                        0, s_out - 1)
+        k_hi = jnp.clip(s_global - o0
+                        - jnp.floor(zoff_min).astype(jnp.int32) + 1,
+                        0, s_out - 1)
 
         def k_body(k, acc):
-            hit = (gz_max[k] > s_global - 1.0) & \
-                (gz_min[k] < s_global + 1.0)
+            gzk = gz_s[k]
+            f0 = ct_s[k].astype(jnp.float32) * _tent(gzk - sf)
+            tyk = gy_s[k] - rows2.astype(jnp.float32)
+            txk = gx_s[k] - cols2.astype(jnp.float32)
 
-            def contribute(acc):
-                f0 = ct[k] * _tent(gz[k] - s_global)
-                tyk = tyf[k]
-                txk = txf[k]
-                rows2 = rows[k]
-                cols2 = cols[k]
+            def dy_body(dy, acc):
+                fy = f0 * _tent(tyk + dy.astype(jnp.float32))
 
-                def dy_body(dy, acc):
-                    fy = f0 * _tent(tyk + dy.astype(jnp.float32))
+                def dx_body(dx, acc):
+                    t = fy * _tent(txk + dx.astype(jnp.float32))
+                    g = pltpu.roll(t, jnp.mod(-dx, wp), 1)
+                    g = pltpu.roll(g, jnp.mod(-dy, h), 0)
+                    # rolled-in wrap rows/cols are invalid: receiver q must
+                    # satisfy q + delta in-range
+                    q_ok = ((rows2 + dy >= 0) & (rows2 + dy <= h - 1)
+                            & (cols2 + dx >= 0) & (cols2 + dx <= w - 1))
+                    return acc + jnp.where(q_ok, g, 0.0)
 
-                    def dx_body(dx, acc):
-                        t = fy * _tent(txk + dx.astype(jnp.float32))
-                        g = pltpu.roll(t, jnp.mod(-dx, wp), 1)
-                        g = pltpu.roll(g, jnp.mod(-dy, h), 0)
-                        # rolled-in wrap rows/cols are invalid: receiver q
-                        # must satisfy q + delta in-range
-                        q_ok = ((rows2 + dy >= 0) & (rows2 + dy <= h - 1)
-                                & (cols2 + dx >= 0)
-                                & (cols2 + dx <= w - 1))
-                        return acc + jnp.where(q_ok, g, 0.0)
+                return jax.lax.fori_loop(dx_lo, dx_hi + 1, dx_body, acc)
 
-                    return jax.lax.fori_loop(dx_lo, dx_hi + 1, dx_body, acc)
+            return jax.lax.fori_loop(dy_lo, dy_hi + 1, dy_body, acc)
 
-                return jax.lax.fori_loop(dy_lo, dy_hi + 1, dy_body, acc)
-
-            return jax.lax.cond(hit, contribute, lambda a: a, acc)
-
-        acc = jax.lax.fori_loop(0, s_out, k_body,
+        acc = jax.lax.fori_loop(k_lo, k_hi + 1, k_body,
                                 jnp.zeros((h, wp), jnp.float32))
         dvol_ref[0, sl] = acc.astype(dvol_ref.dtype)
 
