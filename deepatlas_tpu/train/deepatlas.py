@@ -172,7 +172,8 @@ class DeepAtlasExperiment(BaseExperiment):
         self.seg_step = make_joint_seg_step(
             self.sup_loss, self.config.get("anatomy_weight", 1.0),
             self.config.get("supervised_weight", 1.0), n_class,
-            warp_fn=warp_fn, anatomy_dtype=anatomy_dtype)
+            warp_fn=warp_fn, anatomy_dtype=anatomy_dtype,
+            checkpoint_apply=self.config.get("checkpoint_seg_apply", True))
         self.seg_eval_step = make_seg_eval_step(n_class)
         self.reg_eval_step = make_reg_eval_step(n_class)
 

@@ -131,15 +131,116 @@ def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
 def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
                         supervised_weight: float, n_class: int,
                         warp_fn: Callable = grid_sample,
-                        anatomy_dtype=None):
+                        anatomy_dtype=None,
+                        checkpoint_apply: bool = False,
+                        two_pass: bool = True):
     """Seg-phase step of joint training: updates the seg net against the
     supervised loss (where labels exist) + anatomy consistency through the
     (frozen) reg net's warp.
 
+    ``two_pass`` computes the exact gradient as the sum of two sequenced
+    passes — first w.r.t. the moving branch (fixed probabilities constant),
+    then w.r.t. the fixed branch (warped moving anatomy constant), an
+    application of the multivariate chain rule.  The phase otherwise holds
+    TWO U-Net backward graphs plus the C = n_class anatomy tensors live at
+    once, which exceeds one chip's HBM at full MB101 size.
+    ``checkpoint_apply`` additionally makes each forward full-recompute.
+
     Signature: (seg_state, reg_state, moving, fixed, moving_seg, fixed_seg,
     moving_has_label, fixed_has_label) -> (seg_state, metrics)
     """
+    if checkpoint_apply:
+        def apply_model(state, params, images, train):
+            f = jax.checkpoint(
+                lambda p, x: _apply_model(state, p, x, train),
+                policy=jax.checkpoint_policies.nothing_saveable)
+            return f(params, images)
+    else:
+        apply_model = _apply_model
 
+    def _soft_dice(warped_m, f_probs):
+        inter = jnp.sum(warped_m[..., 1:] * f_probs[..., 1:],
+                        axis=(1, 2, 3), dtype=jnp.float32)
+        denom = jnp.sum(warped_m[..., 1:], axis=(1, 2, 3),
+                        dtype=jnp.float32) + \
+            jnp.sum(f_probs[..., 1:], axis=(1, 2, 3), dtype=jnp.float32)
+        return 1.0 - jnp.mean(2.0 * inter / (denom + 1e-5))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step_two_pass(seg_state: TrainState, reg_state: TrainState, moving,
+                      fixed, moving_seg, fixed_seg, moving_has_label,
+                      fixed_has_label):
+        adt = anatomy_dtype or jnp.float32
+        disp, warped, deform = reg_state.apply_fn(
+            {"params": reg_state.params}, moving, fixed, train=False)
+        deform = jax.lax.stop_gradient(deform)
+
+        onehot_m = one_hot(moving_seg.astype(jnp.int32), n_class, dtype=adt)
+        onehot_f = one_hot(fixed_seg.astype(jnp.int32), n_class, dtype=adt)
+        any_m = jnp.any(moving_has_label).astype(jnp.float32)
+        any_f = jnp.any(fixed_has_label).astype(jnp.float32)
+        sup_norm = jnp.maximum(any_m + any_f, 1.0)
+
+        def branch_probs(logits, has_label, onehot):
+            probs = jax.nn.softmax(logits.astype(jnp.float32),
+                                   axis=-1).astype(adt)
+            return jnp.where(has_label[:, None, None, None, None], onehot,
+                             probs)
+
+        # ---- pass A: moving branch (fixed probabilities are constants).
+        # train=True so BatchNorm normalizes with batch statistics exactly
+        # like the differentiated pass-B forward (mutations discarded).
+        f_logits_const, _ = _apply_model(seg_state, seg_state.params, fixed,
+                                         train=True)
+        f_probs_const = jax.lax.stop_gradient(
+            branch_probs(f_logits_const, fixed_has_label, onehot_f))
+
+        def loss_a(params):
+            logits_m, new_bn = apply_model(seg_state, params, moving,
+                                           train=True)
+            m_probs = branch_probs(logits_m, moving_has_label, onehot_m)
+            warped_m = warp_fn(m_probs, deform)
+            anat = _soft_dice(warped_m, f_probs_const)
+            sup_m = supervised_loss(logits_m.astype(jnp.float32),
+                                    moving_seg.astype(jnp.int32))
+            loss = anatomy_weight * anat \
+                + supervised_weight * sup_m * any_m / sup_norm
+            return loss, (new_bn, anat, sup_m, warped_m)
+
+        (_, (new_bn, anat, sup_m, warped_m)), grads_a = jax.value_and_grad(
+            loss_a, has_aux=True)(seg_state.params)
+
+        # ---- pass B: fixed branch (warped moving anatomy is constant);
+        # the barrier sequences it after pass A so only one backward graph
+        # is live at a time
+        grads_a, warped_const = jax.lax.optimization_barrier(
+            (grads_a, jax.lax.stop_gradient(warped_m)))
+
+        def loss_b(params):
+            logits_f, new_bn2 = apply_model(
+                seg_state.replace(batch_stats=new_bn), params, fixed,
+                train=True)
+            f_probs = branch_probs(logits_f, fixed_has_label, onehot_f)
+            anat_b = _soft_dice(warped_const, f_probs)
+            sup_f = supervised_loss(logits_f.astype(jnp.float32),
+                                    fixed_seg.astype(jnp.int32))
+            loss = anatomy_weight * anat_b \
+                + supervised_weight * sup_f * any_f / sup_norm
+            return loss, (new_bn2, sup_f)
+
+        (_, (new_bn2, sup_f)), grads_b = jax.value_and_grad(
+            loss_b, has_aux=True)(seg_state.params)
+
+        grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
+        sup = (sup_m * any_m + sup_f * any_f) / sup_norm
+        loss = anatomy_weight * anat + supervised_weight * sup
+        seg_state = seg_state.apply_gradients(grads, new_bn2)
+        return seg_state, {"loss": loss, "anatomy": anat, "supervised": sup}
+
+    if two_pass:
+        return step_two_pass
+
+    # single-pass variant (both branches in one backward graph)
     @partial(jax.jit, donate_argnums=(0,))
     def step(seg_state: TrainState, reg_state: TrainState, moving, fixed,
              moving_seg, fixed_seg, moving_has_label, fixed_has_label):
@@ -149,9 +250,9 @@ def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
         deform = jax.lax.stop_gradient(deform)
 
         def loss_fn(params):
-            logits_m, new_bn = _apply_model(seg_state, params, moving,
-                                            train=True)
-            logits_f, new_bn2 = _apply_model(
+            logits_m, new_bn = apply_model(seg_state, params, moving,
+                                           train=True)
+            logits_f, new_bn2 = apply_model(
                 seg_state.replace(batch_stats=new_bn), params, fixed,
                 train=True)
             adt = anatomy_dtype or jnp.float32

@@ -123,3 +123,53 @@ class TestDeepAtlasTraining:
         exp, _, _ = trained
         # only the first n_labeled=1 scan is treated as labeled
         assert len(exp.labeled_names) == 1
+
+
+def test_joint_seg_two_pass_matches_single_pass(rng):
+    """The two-pass gradient split (chain-rule sum) is exact: same updated
+    params as the single-pass step."""
+    import jax
+    import jax.numpy as jnp
+    from deepatlas_tpu.losses import get_loss_function
+    from deepatlas_tpu.models import UNetTemplate, VoxelMorphCVPR2018
+    from deepatlas_tpu.train import TrainState, make_optimizer
+    from deepatlas_tpu.train.reg_steps import make_joint_seg_step
+
+    nc = 3
+    shape = (2, 8, 8, 8, 1)
+    seg_model = UNetTemplate(encoders=((2, 4), (4, 4)), decoders=((4, 4, 4),),
+                             in_channel=1, n_classes=nc, bias=True, BN=True,
+                             act="LeakyReLU")
+    reg_model = VoxelMorphCVPR2018(enc_filters=(2, 4, 4, 4, 4),
+                                   dec_filters=(4, 4, 4, 2, 2))
+    moving = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    fixed = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    mseg = jnp.asarray(rng.randint(0, nc, shape[:4]).astype(np.int32))
+    fseg = jnp.asarray(rng.randint(0, nc, shape[:4]).astype(np.int32))
+    has = jnp.asarray([True, False])
+
+    sv = seg_model.init(jax.random.PRNGKey(0), moving, train=False)
+    rv = reg_model.init(jax.random.PRNGKey(1), moving, fixed)
+    rs = TrainState.create(apply_fn=reg_model.apply, params=rv["params"],
+                           batch_stats={}, tx=make_optimizer(1e-3))
+    sup = get_loss_function("dice")(n_class=nc, weight_type="Uniform",
+                                    softmax=True)
+
+    results = []
+    for two_pass in (False, True):
+        # deep-copy: the step donates its state and sv is reused
+        fresh = jax.tree_util.tree_map(jnp.copy, sv)
+        ss = TrainState.create(apply_fn=seg_model.apply,
+                               params=fresh["params"],
+                               batch_stats=fresh.get("batch_stats", {}),
+                               tx=make_optimizer(1e-3))
+        step = make_joint_seg_step(sup, 1.0, 1.0, nc, two_pass=two_pass)
+        ss2, metrics = step(ss, rs, moving, fixed, mseg, fseg, has, has)
+        results.append((ss2.params, metrics))
+
+    (p_single, m_single), (p_two, m_two) = results
+    np.testing.assert_allclose(float(m_single["loss"]),
+                               float(m_two["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_single),
+                    jax.tree_util.tree_leaves(p_two)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
