@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .warp import LANE, _ceil_to, _pad_last, _range_from, _tent, _vox_coords
+from .warp import LANE, _ceil_to, _pad_last, _range_from, _tent
 
 
 def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, dvol_ref,

@@ -10,7 +10,7 @@ to host.
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable, Optional, Sequence
 
 import jax

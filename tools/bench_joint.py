@@ -2,6 +2,15 @@
 
 Measures the alternating joint steps (reg phase / seg phase, with the
 anatomy one-hot warps) on the default backend.  Run from the repo root.
+
+Status on one v5e chip (15.75G HBM): the reg phase runs at ~7.3 s/step
+(32-channel Pallas anatomy warp).  The seg phase — two U-Net grads + the
+C=32 anatomy graph — still exceeds HBM at the full 168x200x168 volume even
+with the exact two-pass gradient split (XLA materializes BatchNorm-backward
+temporaries in channel-minor layouts with 8x padding); it runs at reduced
+crops or patch size (the joint CLI path), and fits as-is on >=2 chips via
+the DP joint steps.  Tracked for round 2: per-class presence skipping of
+the one-hot warps and a layout-friendly BN gradient.
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -17,7 +26,7 @@ fixed = jax.random.uniform(ks[1], (1,d,h,w,1), jnp.float32)
 mseg = jax.random.randint(ks[2], (1,d,h,w), 0, nc, jnp.int32)
 fseg = jax.random.randint(ks[3], (1,d,h,w), 0, nc, jnp.int32)
 has = jnp.ones((1,), bool)
-seg_model = UNetLight(in_channel=1, n_classes=nc, bias=True, BN=True, dtype=jnp.bfloat16, remat=False)
+seg_model = UNetLight(in_channel=1, n_classes=nc, bias=True, BN=True, dtype=jnp.bfloat16, remat=True)
 reg_model = VoxelMorphCVPR2018(dtype=jnp.bfloat16, remat=True, use_pallas_warp=True, max_disp=8)
 sv = seg_model.init(ks[4], moving, train=False)
 rv = reg_model.init(ks[5], moving, fixed)
@@ -30,7 +39,7 @@ from deepatlas_tpu.pallas import pallas_grid_sample
 from functools import partial
 wfn = partial(pallas_grid_sample, max_disp=8)
 jr = make_joint_reg_step(sim, regl, 1.0, 1.0, nc, warp_fn=wfn, anatomy_dtype=jnp.bfloat16)
-js = make_joint_seg_step(sup, 1.0, 1.0, nc, warp_fn=wfn, anatomy_dtype=jnp.bfloat16)
+js = make_joint_seg_step(sup, 1.0, 1.0, nc, warp_fn=wfn, anatomy_dtype=jnp.bfloat16, two_pass=True)
 import sys
 if "--seg-only" in sys.argv:
     pass
