@@ -278,7 +278,6 @@ class DeepAtlasExperiment(BaseExperiment):
                 jnp.asarray(batch["segmentation"].astype(np.int32)))
             dice_sum += np.asarray(dice, np.float64).sum(axis=0)
             count += dice.shape[0]
-        seg_dice = float(dice_sum.mean() / max(count, 1)) * 1.0
         seg_dice = float((dice_sum / max(count, 1)).mean())
 
         # reg validation

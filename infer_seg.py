@@ -30,8 +30,10 @@ def main():
                     help="dataset key (OAI/OASIS/MindBoggle/...)")
     ap.add_argument("--model", default="UNet_light")
     ap.add_argument("--n-classes", type=int, required=True)
-    ap.add_argument("--bias", action="store_true", default=True)
-    ap.add_argument("--BN", action="store_true", default=True)
+    ap.add_argument("--bias", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--BN", action=argparse.BooleanOptionalAction,
+                    default=True)
     ap.add_argument("--tile-size", type=int, nargs=3, default=[128, 128, 128])
     ap.add_argument("--overlap", type=int, nargs=3, default=[16, 16, 16])
     ap.add_argument("--tile-batch", type=int, default=4)
@@ -107,7 +109,9 @@ def main():
             line["dice"] = [round(float(d), 4) for d in dice]
         if args.out_dir:
             out_path = os.path.join(args.out_dir, f"{name}_pred.nii.gz")
-            write_nifti(out_path, pred.astype(np.uint8))
+            # keep the source volume's spacing/affine on the prediction
+            write_nifti(out_path, pred.astype(np.uint8),
+                        like=sample.get("like"))
             line["saved"] = out_path
         print(json.dumps(line))
 
