@@ -130,6 +130,36 @@ def warp(vol: jnp.ndarray, disp: jnp.ndarray,
     return grid_sample(vol, deform, mode=mode)
 
 
+def displacement_overflow(grid: jnp.ndarray, max_disp: int) -> jnp.ndarray:
+    """Fraction of sample points whose |displacement| exceeds ``max_disp``
+    voxels on any axis.  ``grid`` is a ``(B, D, H, W, 3)`` normalized (x, y, z)
+    deformation.  Cheap elementwise pass, meant for step metrics so training
+    notices when a field outgrows the Pallas kernel's exact range (the XLA
+    path here is exact everywhere and needs no such monitor)."""
+    b, d, h, w, _ = grid.shape
+    disp = grid.astype(jnp.float32) - identity_grid_batch(
+        (b, d, h, w, 1), dtype=jnp.float32)
+    scale = jnp.array([(w - 1) / 2.0, (h - 1) / 2.0, (d - 1) / 2.0],
+                      jnp.float32)
+    over = jnp.any(jnp.abs(disp) * scale > max_disp, axis=-1)
+    return jnp.mean(over.astype(jnp.float32))
+
+
+def clamp_displacement(grid: jnp.ndarray, max_disp: int) -> jnp.ndarray:
+    """Clamp a normalized deformation grid so each axis' displacement is
+    within ±``max_disp`` voxels of the identity.  Inside the bound this is
+    the identity map; beyond it the warp saturates (zero gradient w.r.t. the
+    field past the bound) instead of contributing silent zeros."""
+    b, d, h, w, _ = grid.shape
+    ident = identity_grid_batch((b, d, h, w, 1), dtype=jnp.float32)
+    disp = grid.astype(jnp.float32) - ident
+    # normalized units per voxel on each axis (x, y, z)
+    scale = jnp.array([2.0 / (w - 1), 2.0 / (h - 1), 2.0 / (d - 1)],
+                      jnp.float32)
+    bound = max_disp * scale
+    return (ident + jnp.clip(disp, -bound, bound)).astype(grid.dtype)
+
+
 def warp_labels(labels: jnp.ndarray, deform: jnp.ndarray) -> jnp.ndarray:
     """Warp an integer label mask with nearest-neighbour sampling.
 

@@ -46,6 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.warp import clamp_displacement, displacement_overflow  # noqa: F401 (re-export)
+
 LANE = 128
 
 
@@ -406,6 +408,7 @@ def _default_interpret() -> bool:
 
 def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
                        max_disp: int = 8, z_tile: int = 8,
+                       bound_mode: str = "clamp",
                        interpret: bool | None = None) -> jnp.ndarray:
     """Pallas trilinear ``grid_sample`` for channel-last batches.
 
@@ -413,10 +416,15 @@ def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
       vol: ``(B, D, H, W, C)`` float volume.
       grid: ``(B, D, H, W, 3)`` normalized sample grid, last axis (x, y, z),
         align_corners=True — same convention as ops/warp.py.
-      max_disp: static bound (voxels) on |sample - identity| along z and y;
-        larger displacements contribute zero (documented deviation from the
-        XLA path, which is exact everywhere).
+      max_disp: static bound (voxels) on |sample - identity| the kernel
+        resolves exactly (slab margin along z/y, splat range along x).
       z_tile: output z-planes per kernel instance.
+      bound_mode: what happens beyond ``max_disp`` —
+        ``"clamp"`` (default) clamps each axis' displacement to the bound,
+        so oversized fields saturate (zero *gradient* past the bound, but
+        never the silent zero *values* of the raw kernel); ``"none"`` keeps
+        the raw kernel semantics (z/y contributions vanish past the bound —
+        only for callers that guarantee bounded fields).
       interpret: run in Pallas interpreter mode (CPU testing).
 
     Returns:
@@ -425,9 +433,14 @@ def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
     if vol.ndim != 5 or grid.ndim != 5 or grid.shape[-1] != 3:
         raise ValueError(f"expected vol (B,D,H,W,C), grid (B,D,H,W,3); got "
                          f"{vol.shape}, {grid.shape}")
+    if bound_mode not in ("clamp", "none"):
+        raise ValueError(f"bound_mode must be 'clamp' or 'none', got "
+                         f"{bound_mode!r}")
     if interpret is None:
         interpret = _default_interpret()
     b, d, h, w, c = vol.shape
+    if bound_mode == "clamp":
+        grid = clamp_displacement(grid, max_disp)
     if d < z_tile + 2 * (max_disp + 1):
         # volume too shallow for the slab pipeline — the XLA composition is
         # cheap at these sizes anyway

@@ -24,7 +24,7 @@ from ..losses import soft_dice_on_probs
 from ..metrics import multiclass_dice
 from functools import partial as _partial
 
-from ..ops import one_hot, warp_labels
+from ..ops import displacement_overflow, one_hot, warp_labels
 from ..ops import grid_sample as _xla_grid_sample
 
 grid_sample = _partial(_xla_grid_sample, mode="trilinear")
@@ -32,8 +32,13 @@ from .steps import TrainState, _apply_model
 
 
 def make_reg_train_step(sim_loss: Callable, reg_loss: Callable,
-                        reg_weight: float):
-    """Returns jitted ``(state, moving, fixed) -> (state, metrics)``."""
+                        reg_weight: float, max_disp: int | None = None):
+    """Returns jitted ``(state, moving, fixed) -> (state, metrics)``.
+
+    ``max_disp``: when the model warps through the Pallas kernel (bounded,
+    clamped displacements — pallas/warp.py), pass its bound here to get a
+    ``disp_overflow`` metric (fraction of voxels whose field exceeded the
+    bound and therefore saturated)."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, moving, fixed):
@@ -43,12 +48,17 @@ def make_reg_train_step(sim_loss: Callable, reg_loss: Callable,
             sim = sim_loss(warped.astype(jnp.float32),
                            fixed.astype(jnp.float32))
             reg = reg_loss(disp.astype(jnp.float32))
-            return sim + reg_weight * reg, (sim, reg)
+            aux = (sim, reg, deform)
+            return sim + reg_weight * reg, aux
 
-        (loss, (sim, reg)), grads = jax.value_and_grad(
+        (loss, (sim, reg, deform)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads)
-        return state, {"loss": loss, "sim": sim, "reg": reg}
+        metrics = {"loss": loss, "sim": sim, "reg": reg}
+        if max_disp is not None:
+            metrics["disp_overflow"] = displacement_overflow(
+                jax.lax.stop_gradient(deform), max_disp)
+        return state, metrics
 
     return train_step
 
@@ -76,7 +86,7 @@ def make_reg_eval_step(n_class: int):
 def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
                         reg_weight: float, anatomy_weight: float,
                         n_class: int, warp_fn: Callable = grid_sample,
-                        anatomy_dtype=None):
+                        anatomy_dtype=None, max_disp: int | None = None):
     """Reg-phase step of joint training: updates the reg net against
     similarity + smoothness + anatomy consistency, with the (frozen) seg net
     filling in missing labels.
@@ -117,13 +127,16 @@ def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
             warped_onehot = warp_fn(onehot_m, deform)
             anat = soft_dice_on_probs(warped_onehot, lab_f, n_class)
             return sim + reg_weight * reg + anatomy_weight * anat, \
-                (sim, reg, anat)
+                (sim, reg, anat, deform)
 
-        (loss, (sim, reg, anat)), grads = jax.value_and_grad(
+        (loss, (sim, reg, anat, deform)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(reg_state.params)
         reg_state = reg_state.apply_gradients(grads)
-        return reg_state, {"loss": loss, "sim": sim, "reg": reg,
-                           "anatomy": anat}
+        metrics = {"loss": loss, "sim": sim, "reg": reg, "anatomy": anat}
+        if max_disp is not None:
+            metrics["disp_overflow"] = displacement_overflow(
+                jax.lax.stop_gradient(deform), max_disp)
+        return reg_state, metrics
 
     return step
 
