@@ -25,6 +25,7 @@ def get_activation(act: Union[str, Callable]) -> Callable:
     table = {
         "ReLU": nn.relu,
         "LeakyReLU": lambda x: nn.leaky_relu(x, negative_slope=0.01),
+        "None": lambda x: x,
     }
     if act not in table:
         raise NotImplementedError(

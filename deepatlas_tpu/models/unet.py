@@ -104,9 +104,19 @@ class UNetTemplate(nn.Module):
     res: bool = False
     dtype: Any = None
     remat: bool = False
+    # packed execution: the shallow (high-resolution, small-channel) levels
+    # run on the lane-packed Pallas conv kernels (pallas/conv3d.py) instead
+    # of XLA convolutions — same math, no channel-minor layout padding.
+    # ``packed_levels`` counts resolution levels from the top; deeper levels
+    # (small tensors, wide channels) stay on XLA.
+    packed: bool = False
+    packed_levels: int = 2
+    interpret: Any = None               # Pallas interpret override (tests)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.packed:
+            return self._packed_call(x, train)
         CB = _maybe_remat(ConvBlock, self.remat)
         DB = _maybe_remat(DeconvBlock, self.remat)
         levels = len(self.encoders)
@@ -166,3 +176,120 @@ class UNetTemplate(nn.Module):
                 x = nn.Conv(self.n_classes, (1, 1, 1), use_bias=self.bias,
                             dtype=self.dtype, kernel_init=conv_kernel_init)(x)
         return x
+
+    def _packed_call(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """Packed-layout execution of the same plan (see class docstring).
+
+        The top ``packed_levels`` resolution levels (encoder and the
+        decoder levels at the same resolutions) run on the packed Pallas
+        conv/deconv/pool; deeper levels use the standard XLA blocks.  Skip
+        connections into packed decoder levels never materialize a concat:
+        the first conv of the level splits its kernel over (upsampled,
+        skip) and sums (conv of a concat == sum of per-part convs).
+        """
+        import dataclasses
+
+        from .packed import (PackedConvBlock, PackedDeconvBlock,
+                             effective_cout, fit_packed, next_pow2, pack,
+                             packed_max_pool, unpack)
+
+        if self.upsample or self.res or not self.maxpool:
+            raise NotImplementedError(
+                "packed UNet supports the maxpool-down / deconv-up plan "
+                "(the UNet_light configuration)")
+        levels = len(self.encoders)
+        nl = min(self.packed_levels, levels - 1)
+        factor = 2 ** (levels - 1)
+        bad = [n for n in x.shape[1:4] if n % factor]
+        if bad:
+            raise ValueError(
+                f"UNet with {levels} levels needs spatial dims divisible by "
+                f"{factor}, got {x.shape[1:4]}")
+
+        def pcb(features, in_features, spec, h, ks=3, act=None, bn=None):
+            return PackedConvBlock(
+                features, in_features, spec, kernel_size=ks,
+                use_bias=self.bias,
+                batchnorm=self.BN if bn is None else bn,
+                act=self.act if act is None else act, dtype=self.dtype,
+                interpret=self.interpret)(h, train)
+
+        # ---- packed encoder levels
+        xp, spec = pack(x.astype(self.dtype or x.dtype))
+        cin = self.in_channel
+        packed_skips = []                     # (tensor, spec, channels)
+        for i in range(nl):
+            plan = self.encoders[i]
+            chain = plan if i == 0 else plan[1:]
+            for f in chain:
+                xp = pcb(f, cin, spec, xp)
+                spec = dataclasses.replace(spec, c=effective_cout(f, spec))
+                cin = f
+            packed_skips.append((xp, spec, cin))
+            xp, spec = packed_max_pool(xp, spec)
+
+        # ---- XLA deep levels (standard blocks)
+        CB = _maybe_remat(ConvBlock, self.remat)
+        DB = _maybe_remat(DeconvBlock, self.remat)
+        h = unpack(xp, spec)
+        xla_skips = []
+        for i in range(nl, levels):
+            for f in self.encoders[i][1:]:
+                h = CB(f, 3, 1, 1, use_bias=self.bias, batchnorm=self.BN,
+                       act=self.act, dtype=self.dtype)(h, train)
+                cin = f
+            if i < levels - 1:
+                xla_skips.append(h)
+                h = max_pool_3d(h)
+
+        # ---- decoder
+        for j, dec_plan in enumerate(self.decoders):
+            out_level = levels - 2 - j        # resolution of this level
+            if out_level >= nl:
+                # fully XLA level
+                h = DB(dec_plan[0], 2, 2, use_bias=self.bias,
+                       batchnorm=self.BN, act=self.act,
+                       dtype=self.dtype)(h, train)
+                skip = xla_skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                for f in dec_plan[1:]:
+                    h = CB(f, 3, 1, 1, use_bias=self.bias,
+                           batchnorm=self.BN, act=self.act,
+                           dtype=self.dtype)(h, train)
+                cin = dec_plan[-1] if len(dec_plan) > 1 else dec_plan[0]
+                continue
+            # packed level: upsample into the packed domain
+            skip_p, skip_spec, skip_c = packed_skips[out_level]
+            if out_level == nl - 1:
+                # transition: pack the XLA tensor, then packed deconv
+                xp, spec = pack(h.astype(self.dtype or h.dtype),
+                                w_align=max(skip_spec.w_stored // 2, 1))
+            up = PackedDeconvBlock(
+                dec_plan[0], cin, spec, use_bias=self.bias,
+                batchnorm=self.BN, act=self.act, dtype=self.dtype,
+                interpret=self.interpret)(xp, train)
+            from .packed import PackedSpec
+            spec = PackedSpec(next_pow2(dec_plan[0]), 2 * spec.w,
+                              2 * spec.w_stored, 2 * spec.h,
+                              2 * spec.h_stored)
+            up, spec = fit_packed(up, spec, skip_spec.w_stored,
+                                  skip_spec.h_stored)
+            cin = dec_plan[0]
+            xp = up
+            for fi, f in enumerate(dec_plan[1:]):
+                if fi == 0:
+                    xp = pcb(f, (cin, skip_c), (spec, skip_spec),
+                             (xp, skip_p))
+                else:
+                    xp = pcb(f, cin, spec, xp)
+                spec = dataclasses.replace(
+                    spec, c=effective_cout(
+                        f, (spec, skip_spec) if fi == 0 else spec))
+                cin = f
+            if j == len(self.decoders) - 1:
+                xp = pcb(self.n_classes, cin, spec, xp, ks=1, act="None",
+                         bn=False)
+                spec = dataclasses.replace(
+                    spec, c=effective_cout(self.n_classes, spec))
+                return unpack(xp, spec, c_valid=self.n_classes)
+        return unpack(xp, spec)  # pragma: no cover (plans end at level 0)
