@@ -15,7 +15,8 @@ from .unet import UNet, UNetTemplate
 from .voxelmorph import VoxelMorphCVPR2018
 
 __all__ = ["UNet", "UNetTemplate", "VoxelMorphCVPR2018", "UNetLight",
-           "network_dic", "get_network", "get_available_networks"]
+           "network_dic", "get_network", "get_available_networks",
+           "resolve_model_settings"]
 
 # the UNet_light channel plan (network_factory/__init__.py:12-15)
 UNET_LIGHT_ENCODERS = ((8, 16), (16, 16, 32), (32, 32, 64), (64, 64, 64))
@@ -42,3 +43,17 @@ def get_network(network_name: str):
 
 def get_available_networks():
     return tuple(network_dic.keys())
+
+
+def resolve_model_settings(settings: dict) -> dict:
+    """Make JSON-borne model settings constructor-ready: the config
+    snapshot stores ``dtype`` as a string ("bfloat16"/"float32"); convert
+    to the jnp dtype the Flax modules expect."""
+    import jax.numpy as jnp
+
+    out = dict(settings)
+    dt = out.get("dtype")
+    if isinstance(dt, str):
+        out["dtype"] = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                        "float16": jnp.float16}[dt]
+    return out

@@ -312,3 +312,48 @@ def fit_packed(x: jnp.ndarray, spec: PackedSpec, w_stored: int,
     elif ws < w_stored:
         x = jnp.pad(x, [(0, 0)] * 3 + [(0, (w_stored - ws) * c)])
     return x, PackedSpec(c, spec.w, w_stored, spec.h, h_stored)
+
+
+def packed_stride2(x: jnp.ndarray, spec: PackedSpec,
+                   w_align: int = 16) -> Tuple[jnp.ndarray, PackedSpec]:
+    """Even-index subsample (d, h, w) of a packed activation — composing a
+    stride-1 packed conv with this reproduces torch Conv3d(k3, s2, p1)
+    exactly (output o reads input 2o and its ±1 taps)."""
+    b, d, hs, L = x.shape
+    c = spec.c
+    d2 = -(-d // 2)
+    m = x[:, 0::2, 0::2]                                   # (B, d2, hs/2, L)
+    ws2 = spec.w_stored // 2
+    m = m.reshape(b, d2, hs // 2, ws2, 2, c)[..., 0, :]    # even w
+    w2 = -(-spec.w // 2)
+    h2 = -(-spec.h // 2)
+    ws_new = _ceil_to(max(w2, 1), w_align)
+    hs_new = _ceil_to(max(h2, 1), 8)
+    cur_h = m.shape[2]
+    if ws_new <= ws2:
+        m = m[:, :, :, :ws_new, :]
+    else:
+        m = jnp.pad(m, [(0, 0)] * 3 + [(0, ws_new - ws2), (0, 0)])
+    if hs_new <= cur_h:
+        m = m[:, :, :hs_new]
+    else:
+        m = jnp.pad(m, [(0, 0), (0, 0), (0, hs_new - cur_h), (0, 0), (0, 0)])
+    new_spec = PackedSpec(c, w2, ws_new, h2, hs_new)
+    m = m.reshape(b, d2, hs_new, ws_new * c)
+    m = jnp.where(_pad_mask(new_spec, c), m, jnp.zeros((), m.dtype))
+    return m, new_spec
+
+
+def packed_nearest_up2(x: jnp.ndarray, spec: PackedSpec,
+                       interpret=None) -> Tuple[jnp.ndarray, PackedSpec]:
+    """Nearest-neighbour 2x upsample of a packed activation (the reference's
+    F.interpolate default, voxel_morph.py:72-80) — a packed k2 s2 transposed
+    conv with the constant identity bank (every tap copies the input)."""
+    c = spec.c
+    k = jnp.broadcast_to(jnp.eye(c, dtype=jnp.float32), (2, 2, 2, c, c))
+    parts = [packed_deconv2x(x[b], k, c_in=c, w_valid_out=2 * spec.w,
+                             interpret=interpret)
+             for b in range(x.shape[0])]
+    out = jnp.stack(parts)
+    return out, PackedSpec(c, 2 * spec.w, 2 * spec.w_stored, 2 * spec.h,
+                           2 * spec.h_stored)

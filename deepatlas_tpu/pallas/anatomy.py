@@ -1,0 +1,372 @@
+"""Fused hard-label anatomy dice: the joint-training loss without the C=32 warp.
+
+The DeepAtlas reg phase computes ``soft_dice_on_probs(warp(one_hot(lab_m)),
+lab_f)`` (train/reg_steps.py) — in the reg phase both anatomies are hard
+labels (ground truth or the frozen seg net's argmax), so the dense C=n_class
+one-hot warp does n_class times the gather work (and memory) of a scalar
+warp just to throw most of it away in the dice reductions.  Round-1 measured
+the full joint reg step at ~7.3 s, dominated by this warp.
+
+The identity that removes the channel dimension: with hard labels,
+
+  inter_c   = sum_v [lab_f(v)=c] * m(v),   m(v) = sum_i w_i(v)*[lab_m(i_v)=c]
+  denom_m_c = sum_{v'} [lab_m(v')=c] * u(v'),  u = splat(ones)  (warp adjoint)
+
+so the whole anatomy loss needs ONE matched-warp pass (gather labels, compare
+to the target voxel's label, tent-accumulate — a one-line change to the
+pallas/warp.py kernel) and ONE ones-splat (existing kernel), plus two
+per-class binned sums that are tiny MXU matmuls.  The backward w.r.t. the
+deformation is again two C=1 passes (the matched grid-gradient kernel and
+the existing grid-gradient kernel on the binned cotangent volume).
+
+Exactness vs the dense composition is pinned in tests/test_anatomy.py.
+Reference op: the anatomy term of the MICCAI'19 joint scheme — warp at
+voxel_morph.py:85-91 + DiceLossOnLabel, loss.py:348-391.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.warp import clamp_displacement
+from .splat import pallas_splat
+from .warp import (LANE, _bwd_grid_single, _ceil_to, _default_interpret,
+                   _lane_gather, _pad_last, _range_from, _tent, _vox_coords,
+                   _ypad)
+
+
+# ------------------------------------------------------------- kernels
+
+def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, out_ref,
+                        slab, sem, *, d, h, w, wp, tz, r):
+    """m(v) = sum_i w_i(v) * [lab_m(corner_i(v)) == lab_f(v)]."""
+    s_planes = tz + 2 * (r + 1)
+    yp = _ypad(r)
+    hp = h + 2 * yp
+    zi = pl.program_id(0)
+    z0 = zi * tz
+    s0 = jnp.clip(z0 - (r + 1), 0, jnp.maximum(d - s_planes, 0))
+    slab[...] = jnp.zeros_like(slab)
+    cp = pltpu.make_async_copy(
+        lab_ref.at[pl.ds(s0, s_planes), :, :],
+        slab.at[:, pl.ds(yp, h), :], sem)
+    cp.start()
+
+    gz = gz_ref[...] - s0.astype(jnp.float32)
+    gy = gy_ref[...]
+    gx = gx_ref[...]
+    lf = lf_ref[...]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)
+    ty = gy - rows.astype(jnp.float32)
+    s_lo, s_hi = _range_from(jnp.min(gz), jnp.max(gz), 0, s_planes - 1)
+    dy_lo, dy_hi = _range_from(jnp.min(ty), jnp.max(ty), -(r + 1), r + 1)
+
+    ix0 = jnp.floor(gx).astype(jnp.int32)
+    fx = gx - ix0.astype(jnp.float32)
+    x_ok0 = (ix0 >= 0) & (ix0 <= w - 1)
+    x_ok1 = (ix0 + 1 >= 0) & (ix0 + 1 <= w - 1)
+    ix0c = jnp.clip(ix0, 0, wp - 1)
+    ix1c = jnp.clip(ix0 + 1, 0, wp - 1)
+
+    cp.wait()
+
+    def z_body(s, acc):
+        wz = _tent(gz - s.astype(jnp.float32))
+
+        def y_body(dy, acc):
+            k = jnp.mod(hp - (yp + dy), hp)
+            plane = jnp.broadcast_to(
+                pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h], gz.shape)
+            v0 = _lane_gather(plane, ix0c)
+            v1 = _lane_gather(plane, ix1c)
+            eq0 = x_ok0 & (jnp.abs(v0 - lf) < 0.5)
+            eq1 = x_ok1 & (jnp.abs(v1 - lf) < 0.5)
+            xv = jnp.where(eq0, 1.0 - fx, 0.0) + jnp.where(eq1, fx, 0.0)
+            y_src = rows + dy
+            wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
+                           _tent(ty - dy.astype(jnp.float32)), 0.0)
+            return acc + wz * wy * xv
+
+        return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, acc)
+
+    acc = jax.lax.fori_loop(s_lo, s_hi + 1, z_body,
+                            jnp.zeros(gz.shape, jnp.float32))
+    out_ref[...] = acc
+
+
+def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
+                        dgz_ref, dgy_ref, dgx_ref, slab, sem,
+                        *, d, h, w, wp, tz, r):
+    s_planes = tz + 2 * (r + 1)
+    yp = _ypad(r)
+    hp = h + 2 * yp
+    zi = pl.program_id(0)
+    z0 = zi * tz
+    s0 = jnp.clip(z0 - (r + 1), 0, jnp.maximum(d - s_planes, 0))
+    slab[...] = jnp.zeros_like(slab)
+    cp = pltpu.make_async_copy(
+        lab_ref.at[pl.ds(s0, s_planes), :, :],
+        slab.at[:, pl.ds(yp, h), :], sem)
+    cp.start()
+
+    gz = gz_ref[...] - s0.astype(jnp.float32)
+    gy = gy_ref[...]
+    gx = gx_ref[...]
+    lf = lf_ref[...]
+    ct = ct_ref[...]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)
+    ty = gy - rows.astype(jnp.float32)
+    s_lo, s_hi = _range_from(jnp.min(gz), jnp.max(gz), 0, s_planes - 1)
+    dy_lo, dy_hi = _range_from(jnp.min(ty), jnp.max(ty), -(r + 1), r + 1)
+
+    ix0 = jnp.floor(gx).astype(jnp.int32)
+    fx = gx - ix0.astype(jnp.float32)
+    x_ok0 = (ix0 >= 0) & (ix0 <= w - 1)
+    x_ok1 = (ix0 + 1 >= 0) & (ix0 + 1 <= w - 1)
+    ix0c = jnp.clip(ix0, 0, wp - 1)
+    ix1c = jnp.clip(ix0 + 1, 0, wp - 1)
+
+    cp.wait()
+
+    def z_body(s, accs):
+        tz_f = gz - s.astype(jnp.float32)
+        wz = _tent(tz_f)
+        dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
+
+        def y_body(dy, accs):
+            az, ay, ax = accs
+            k = jnp.mod(hp - (yp + dy), hp)
+            plane = jnp.broadcast_to(
+                pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h], gz.shape)
+            v0 = jnp.where(x_ok0 & (jnp.abs(_lane_gather(plane, ix0c) - lf)
+                                    < 0.5), 1.0, 0.0)
+            v1 = jnp.where(x_ok1 & (jnp.abs(_lane_gather(plane, ix1c) - lf)
+                                    < 0.5), 1.0, 0.0)
+            xv = (1.0 - fx) * v0 + fx * v1
+            dxv = v1 - v0
+            ty_f = ty - dy.astype(jnp.float32)
+            y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
+            wy = jnp.where(y_in, _tent(ty_f), 0.0)
+            dwy = jnp.where(y_in & (jnp.abs(ty_f) < 1.0), -jnp.sign(ty_f),
+                            0.0)
+            az = az + ct * dwz * wy * xv
+            ay = ay + ct * wz * dwy * xv
+            ax = ax + ct * wz * wy * dxv
+            return az, ay, ax
+
+        return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, accs)
+
+    zero = jnp.zeros(gz.shape, jnp.float32)
+    az, ay, ax = jax.lax.fori_loop(s_lo, s_hi + 1, z_body,
+                                   (zero, zero, zero))
+    dgz_ref[...] = az
+    dgy_ref[...] = ay
+    dgx_ref[...] = ax
+
+
+_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _matched_fwd_call(lab_m, lab_f, gz, gy, gx, *, tz, r, interpret):
+    d, h, w = lab_m.shape
+    wp = _ceil_to(w, LANE)
+    hb = _ceil_to(h, 8)
+    n_tiles = -(-d // tz)
+    dp = n_tiles * tz
+    s_planes = tz + 2 * (r + 1)
+    hp_slab = hb + 2 * _ypad(r)
+    labp = _pad_last(jnp.pad(lab_m, [(0, 0), (0, hb - h), (0, 0)]), wp)
+    coords = [_pad_last(jnp.pad(c, [(0, dp - d), (0, hb - h), (0, 0)],
+                                mode="edge"), wp) for c in (gz, gy, gx)]
+    # pad target labels with -1 so pad voxels never match
+    lfp = _pad_last(jnp.pad(lab_f, [(0, dp - d), (0, hb - h), (0, 0)],
+                            constant_values=-1.0), wp)
+    kern = functools.partial(_matched_fwd_kernel, d=d, h=hb, w=w, wp=wp,
+                             tz=tz, r=r)
+    cspec = pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[cspec, cspec, cspec, cspec,
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=cspec,
+        out_shape=jax.ShapeDtypeStruct((dp, hb, wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((s_planes, hp_slab, wp), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=_VMEM,
+        interpret=interpret,
+    )(*coords, lfp, labp)
+    return out[:d, :h, :w]
+
+
+def _matched_bwd_call(lab_m, lab_f, gz, gy, gx, ct, *, tz, r, interpret):
+    d, h, w = lab_m.shape
+    wp = _ceil_to(w, LANE)
+    hb = _ceil_to(h, 8)
+    n_tiles = -(-d // tz)
+    dp = n_tiles * tz
+    s_planes = tz + 2 * (r + 1)
+    hp_slab = hb + 2 * _ypad(r)
+    labp = _pad_last(jnp.pad(lab_m, [(0, 0), (0, hb - h), (0, 0)]), wp)
+    coords = [_pad_last(jnp.pad(c, [(0, dp - d), (0, hb - h), (0, 0)],
+                                mode="edge"), wp) for c in (gz, gy, gx)]
+    lfp = _pad_last(jnp.pad(lab_f, [(0, dp - d), (0, hb - h), (0, 0)],
+                            constant_values=-1.0), wp)
+    ctp = _pad_last(jnp.pad(ct, [(0, dp - d), (0, hb - h), (0, 0)]), wp)
+    kern = functools.partial(_matched_bwd_kernel, d=d, h=hb, w=w, wp=wp,
+                             tz=tz, r=r)
+    cspec = pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dgz, dgy, dgx = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[cspec] * 5 + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(cspec, cspec, cspec),
+        out_shape=tuple(jax.ShapeDtypeStruct((dp, hb, wp), jnp.float32)
+                        for _ in range(3)),
+        scratch_shapes=[pltpu.VMEM((s_planes, hp_slab, wp), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=_VMEM,
+        interpret=interpret,
+    )(*coords, lfp, ctp, labp)
+    return (dgz[:d, :h, :w], dgy[:d, :h, :w], dgx[:d, :h, :w])
+
+
+# --------------------------------------------------- differentiable ops
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _matched3d(lab_m, lab_f, grid, tz, r, interpret):
+    """labels (D,H,W) f32 x grid (D,H,W,3 normalized xyz) -> m (D,H,W)."""
+    d, h, w = lab_m.shape
+    gz, gy, gx = _vox_coords(grid, d, h, w)
+    return _matched_fwd_call(lab_m, lab_f, gz, gy, gx, tz=tz, r=r,
+                             interpret=interpret)
+
+
+def _matched3d_fwd(lab_m, lab_f, grid, tz, r, interpret):
+    return _matched3d(lab_m, lab_f, grid, tz, r, interpret), \
+        (lab_m, lab_f, grid)
+
+
+def _matched3d_bwd(tz, r, interpret, res, ct):
+    lab_m, lab_f, grid = res
+    d, h, w = lab_m.shape
+    gz, gy, gx = _vox_coords(grid, d, h, w)
+    dgz, dgy, dgx = _matched_bwd_call(lab_m, lab_f, gz, gy, gx,
+                                      ct.astype(jnp.float32), tz=tz, r=r,
+                                      interpret=interpret)
+    dgrid = jnp.stack([dgx * ((w - 1) / 2.0),
+                       dgy * ((h - 1) / 2.0),
+                       dgz * ((d - 1) / 2.0)], axis=-1).astype(grid.dtype)
+    return jnp.zeros_like(lab_m), jnp.zeros_like(lab_f), dgrid
+
+
+_matched3d.defvjp(_matched3d_fwd, _matched3d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _splat_ones3d(grid, dhw, tz, r, interpret):
+    """splat(ones) — the per-source-voxel total warp weight u(v')."""
+    d, h, w = dhw
+    gz, gy, gx = _vox_coords(grid, d, h, w)
+    return pallas_splat(jnp.ones((1, d, h, w), jnp.float32), gz, gy, gx,
+                        d=d, h=h, w=w, tz=max(tz // 2, 1), r=r,
+                        interpret=interpret)[0]
+
+
+def _splat_ones3d_fwd(grid, dhw, tz, r, interpret):
+    return _splat_ones3d(grid, dhw, tz, r, interpret), grid
+
+
+def _splat_ones3d_bwd(dhw, tz, r, interpret, grid, ct):
+    # d/d grid of sum_{v'} ct(v') u(v') = grid-gradient of warp(ct) with
+    # unit cotangent — the existing kernel
+    d, h, w = dhw
+    gz, gy, gx = _vox_coords(grid, d, h, w)
+    dgz, dgy, dgx = _bwd_grid_single(
+        ct.astype(jnp.float32)[None], gz, gy, gx,
+        jnp.ones((1, d, h, w), jnp.float32), tz=tz, r=r,
+        interpret=interpret)
+    dgrid = jnp.stack([dgx * ((w - 1) / 2.0),
+                       dgy * ((h - 1) / 2.0),
+                       dgz * ((d - 1) / 2.0)], axis=-1).astype(grid.dtype)
+    return (dgrid,)
+
+
+_splat_ones3d.defvjp(_splat_ones3d_fwd, _splat_ones3d_bwd)
+
+
+def binned_sum(values: jnp.ndarray, labels: jnp.ndarray, n_class: int,
+               chunk: int = 1 << 19) -> jnp.ndarray:
+    """sum of ``values`` bucketed by ``labels`` — (n_class,) f32.
+
+    A scanned one-hot matmul: differentiable w.r.t. values (the backward is
+    a per-voxel table lookup), never materializing the full one-hot volume.
+    """
+    v = values.reshape(-1).astype(jnp.float32)
+    l = labels.reshape(-1)
+    n = v.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        v = jnp.pad(v, (0, pad))
+        l = jnp.pad(l, (0, pad))
+    v = v.reshape(-1, chunk)
+    l = l.reshape(-1, chunk)
+
+    def body(acc, vl):
+        vi, li = vl
+        oh = jax.nn.one_hot(li, n_class, dtype=jnp.float32)
+        return acc + jnp.dot(vi, oh, preferred_element_type=jnp.float32), None
+
+    acc, _ = lax.scan(body, jnp.zeros((n_class,), jnp.float32), (v, l))
+    return acc
+
+
+def hard_anatomy_dice(lab_m: jnp.ndarray, lab_f: jnp.ndarray,
+                      deform: jnp.ndarray, n_class: int, *,
+                      max_disp: int = 8, z_tile: int = 8, eps: float = 1e-5,
+                      interpret: bool | None = None) -> jnp.ndarray:
+    """Exactly ``soft_dice_on_probs(grid_sample(one_hot(lab_m), deform),
+    lab_f, n_class)`` for HARD moving labels, at C=1 kernel cost.
+
+    Args:
+      lab_m, lab_f: ``(B, D, H, W)`` integer masks.
+      deform: ``(B, D, H, W, 3)`` normalized (x, y, z) deformation; clamped
+        to ±``max_disp`` voxels (the Pallas warp guard).
+
+    Differentiable w.r.t. ``deform`` only (labels are hard).
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    b, d, h, w = lab_m.shape
+    if d < z_tile + 2 * (max_disp + 1):
+        # tiny volumes: the dense XLA composition is cheap
+        from ..losses import soft_dice_on_probs
+        from ..ops import grid_sample, one_hot
+        warped = grid_sample(one_hot(lab_m.astype(jnp.int32), n_class,
+                                     dtype=jnp.float32), deform,
+                             mode="trilinear")
+        return soft_dice_on_probs(warped, lab_f.astype(jnp.int32), n_class)
+    deform = clamp_displacement(deform, max_disp)
+    inters, denms, denfs = [], [], []
+    for bi in range(b):
+        lm = lab_m[bi].astype(jnp.float32)
+        lf = lab_f[bi].astype(jnp.float32)
+        m = _matched3d(lm, lf, deform[bi], z_tile, max_disp, interpret)
+        u = _splat_ones3d(deform[bi], (d, h, w), z_tile, max_disp, interpret)
+        inters.append(binned_sum(m, lab_f[bi].astype(jnp.int32), n_class))
+        denms.append(binned_sum(u, lab_m[bi].astype(jnp.int32), n_class))
+        denfs.append(binned_sum(jnp.ones((d, h, w), jnp.float32),
+                                lab_f[bi].astype(jnp.int32), n_class))
+    inter = jnp.stack(inters)[:, 1:]
+    denom = jnp.stack(denms)[:, 1:] + jnp.stack(denfs)[:, 1:]
+    scores = 2.0 * inter / (denom + eps)
+    return 1.0 - jnp.mean(scores)

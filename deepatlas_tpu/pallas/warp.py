@@ -398,6 +398,36 @@ def _warp3d_bwd(tz, r, interpret, res, ct):
 _warp3d.defvjp(_warp3d_fwd, _warp3d_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _warp3d_vals(vol: jnp.ndarray, grid: jnp.ndarray, tz: int, r: int,
+                 interpret: bool) -> jnp.ndarray:
+    """Like ``_warp3d`` but with a values-only backward: the grid cotangent
+    is returned as zeros WITHOUT running the (C x) grid-gradient and splat
+    kernels for it.  Only valid when the caller stop-gradients the grid
+    (the joint seg phase: the reg net is frozen, reg_steps.py)."""
+    _, d, h, w = vol.shape
+    gz, gy, gx = _vox_coords(grid, d, h, w)
+    return _fwd_single(vol, gz, gy, gx, tz=tz, r=r, interpret=interpret)
+
+
+def _warp3d_vals_fwd(vol, grid, tz, r, interpret):
+    return _warp3d_vals(vol, grid, tz, r, interpret), (vol, grid)
+
+
+def _warp3d_vals_bwd(tz, r, interpret, res, ct):
+    vol, grid = res
+    _, d, h, w = vol.shape
+    gz, gy, gx = _vox_coords(grid, d, h, w)
+    from .splat import pallas_splat
+
+    dvol = pallas_splat(ct, gz, gy, gx, d=d, h=h, w=w, tz=tz, r=r,
+                        interpret=interpret).astype(vol.dtype)
+    return dvol, jnp.zeros_like(grid)
+
+
+_warp3d_vals.defvjp(_warp3d_vals_fwd, _warp3d_vals_bwd)
+
+
 def _default_interpret() -> bool:
     """Interpret (CPU emulation) unless the default backend is a TPU."""
     try:
@@ -408,7 +438,7 @@ def _default_interpret() -> bool:
 
 def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
                        max_disp: int = 8, z_tile: int = 8,
-                       bound_mode: str = "clamp",
+                       bound_mode: str = "clamp", grad: str = "full",
                        interpret: bool | None = None) -> jnp.ndarray:
     """Pallas trilinear ``grid_sample`` for channel-last batches.
 
@@ -425,6 +455,11 @@ def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
         never the silent zero *values* of the raw kernel); ``"none"`` keeps
         the raw kernel semantics (z/y contributions vanish past the bound —
         only for callers that guarantee bounded fields).
+      grad: ``"full"`` differentiates w.r.t. volume AND grid; ``"values"``
+        skips the grid-gradient kernels and returns a zero grid cotangent —
+        ONLY for callers that stop-gradient the grid (the joint seg phase
+        warps C = n_class probability volumes through a frozen field; the
+        grid kernels are C x the work of the value splat).
       interpret: run in Pallas interpreter mode (CPU testing).
 
     Returns:
@@ -436,6 +471,8 @@ def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
     if bound_mode not in ("clamp", "none"):
         raise ValueError(f"bound_mode must be 'clamp' or 'none', got "
                          f"{bound_mode!r}")
+    if grad not in ("full", "values"):
+        raise ValueError(f"grad must be 'full' or 'values', got {grad!r}")
     if interpret is None:
         interpret = _default_interpret()
     b, d, h, w, c = vol.shape
@@ -446,10 +483,11 @@ def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
         # cheap at these sizes anyway
         from ..ops.warp import grid_sample as xla_grid_sample
         return xla_grid_sample(vol, grid, mode="trilinear")
+    op = _warp3d if grad == "full" else _warp3d_vals
     outs = []
     for bi in range(b):
         vol_cf = jnp.moveaxis(vol[bi], -1, 0)          # (C, D, H, W)
-        outs.append(_warp3d(vol_cf, grid[bi], z_tile, max_disp, interpret))
+        outs.append(op(vol_cf, grid[bi], z_tile, max_disp, interpret))
     out = jnp.stack(outs, axis=0)                       # (B, C, D, H, W)
     return jnp.moveaxis(out, 1, -1).astype(vol.dtype)
 

@@ -134,21 +134,37 @@ def make_dp_confusion_eval_step(n_class: int, mesh: Mesh,
 def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
                         sup_loss: Callable, reg_weight: float,
                         anatomy_weight: float, supervised_weight: float,
-                        n_class: int, mesh: Mesh, axis_name: str = "data"):
+                        n_class: int, mesh: Mesh, axis_name: str = "data",
+                        warp_fn: Callable | None = None,
+                        seg_warp_fn: Callable | None = None,
+                        anatomy_dtype=None, max_disp: int | None = None,
+                        fused_anatomy: bool = False, two_pass: bool = True):
     """Data-parallel flavors of the joint DeepAtlas phase steps.
 
     Same semantics as train/reg_steps.py's ``make_joint_reg_step`` /
-    ``make_joint_seg_step`` (alternating semi-supervised scheme), but the
-    batch is sharded over the mesh's data axis and gradients/metrics are
-    ``pmean``-reduced over ICI before the replicated optimizer update.
+    ``make_joint_seg_step`` (alternating semi-supervised scheme, exact
+    two-pass seg gradient split, injectable ``warp_fn`` for the TPU Pallas
+    spatial transformer, optional fused hard-label anatomy for the reg
+    phase), but the batch is sharded over the mesh's data axis and
+    gradients/metrics/BN statistics are ``pmean``-reduced over ICI before
+    the replicated optimizer update.
+
+    ``seg_warp_fn`` warps the C = n_class probability volumes of the seg
+    phase (frozen field — pass the values-only-gradient Pallas variant).
 
     Returns ``(dp_reg_step, dp_seg_step)`` with signatures
     ``(phase_state, other_state, moving, fixed, moving_seg, fixed_seg,
     moving_has_label, fixed_has_label) -> (phase_state, metrics)``.
     """
+    from functools import partial as _p
+
     from ..losses import soft_dice_on_probs
-    from ..ops import grid_sample, one_hot
-    from ..train.reg_steps import make_joint_reg_step, make_joint_seg_step  # noqa: F401  (doc pointer)
+    from ..ops import grid_sample as _gs
+    from ..ops import one_hot
+
+    warp_fn = warp_fn or _p(_gs, mode="trilinear")
+    seg_warp_fn = seg_warp_fn or warp_fn
+    adt = anatomy_dtype or jnp.float32
 
     def reg_grads_fn(reg_state, seg_state, moving, fixed, moving_seg,
                      fixed_seg, m_has, f_has):
@@ -162,7 +178,8 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
                           moving_seg.astype(jnp.int32), pred_m)
         lab_f = jnp.where(f_has[:, None, None, None],
                           fixed_seg.astype(jnp.int32), pred_f)
-        onehot_m = one_hot(lab_m, n_class)
+        onehot_m = None if fused_anatomy else one_hot(lab_m, n_class,
+                                                      dtype=adt)
 
         def loss_fn(params):
             disp, warped, deform = reg_state.apply_fn(
@@ -170,8 +187,13 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
             sim = sim_loss(warped.astype(jnp.float32),
                            fixed.astype(jnp.float32))
             reg = reg_loss(disp.astype(jnp.float32))
-            warped_onehot = grid_sample(onehot_m, deform, mode="trilinear")
-            anat = soft_dice_on_probs(warped_onehot, lab_f, n_class)
+            if fused_anatomy:
+                from ..pallas.anatomy import hard_anatomy_dice
+                anat = hard_anatomy_dice(lab_m, lab_f, deform, n_class,
+                                         max_disp=max_disp)
+            else:
+                warped_onehot = warp_fn(onehot_m, deform)
+                anat = soft_dice_on_probs(warped_onehot, lab_f, n_class)
             return sim + reg_weight * reg + anatomy_weight * anat, \
                 (sim, reg, anat)
 
@@ -180,11 +202,87 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
         metrics = {"loss": loss, "sim": sim, "reg": reg, "anatomy": anat}
         return lax.pmean(grads, axis_name), lax.pmean(metrics, axis_name)
 
+    def _soft_dice(warped_m, f_probs):
+        inter = jnp.sum(warped_m[..., 1:] * f_probs[..., 1:],
+                        axis=(1, 2, 3), dtype=jnp.float32)
+        denom = jnp.sum(warped_m[..., 1:], axis=(1, 2, 3),
+                        dtype=jnp.float32) + \
+            jnp.sum(f_probs[..., 1:], axis=(1, 2, 3), dtype=jnp.float32)
+        return 1.0 - jnp.mean(2.0 * inter / (denom + 1e-5))
+
     def seg_grads_fn(seg_state, reg_state, moving, fixed, moving_seg,
                      fixed_seg, m_has, f_has):
+        """Exact two-pass gradient split (reg_steps.py:step_two_pass), with
+        per-pass pmean so only one U-Net backward graph is live per shard."""
         disp, warped, deform = reg_state.apply_fn(
             {"params": reg_state.params}, moving, fixed, train=False)
         deform = jax.lax.stop_gradient(deform)
+
+        onehot_m = one_hot(moving_seg.astype(jnp.int32), n_class, dtype=adt)
+        onehot_f = one_hot(fixed_seg.astype(jnp.int32), n_class, dtype=adt)
+        # supervised terms: each shard contributes its own labeled branches
+        # only; the normalizer is the GLOBAL labeled-branch count, so the
+        # pmean of per-shard gradients reproduces the global labeled mean
+        lm = jnp.any(m_has).astype(jnp.float32)
+        lf = jnp.any(f_has).astype(jnp.float32)
+        n_lab = jnp.maximum(lax.psum(lm + lf, axis_name), 1.0)
+        n_dev = lax.psum(jnp.ones(()), axis_name)
+        wm = lm * n_dev / n_lab        # per-shard supervised weight (moving)
+        wf = lf * n_dev / n_lab
+
+        def branch_probs(logits, has_label, onehot):
+            probs = jax.nn.softmax(logits.astype(jnp.float32),
+                                   axis=-1).astype(adt)
+            return jnp.where(has_label[:, None, None, None, None], onehot,
+                             probs)
+
+        f_logits_const, _ = _apply_model(seg_state, seg_state.params, fixed,
+                                         train=True)
+        f_probs_const = jax.lax.stop_gradient(
+            branch_probs(f_logits_const, f_has, onehot_f))
+
+        if two_pass:
+            def loss_a(params):
+                logits_m, new_bn = _apply_model(seg_state, params, moving,
+                                                train=True)
+                m_probs = branch_probs(logits_m, m_has, onehot_m)
+                warped_m = seg_warp_fn(m_probs, deform)
+                anat = _soft_dice(warped_m, f_probs_const)
+                sup_m = sup_loss(logits_m.astype(jnp.float32),
+                                 moving_seg.astype(jnp.int32))
+                loss = anatomy_weight * anat \
+                    + supervised_weight * sup_m * wm
+                return loss, (new_bn, anat, sup_m, warped_m)
+
+            (_, (new_bn, anat, sup_m, warped_m)), grads_a = \
+                jax.value_and_grad(loss_a, has_aux=True)(seg_state.params)
+            grads_a = lax.pmean(grads_a, axis_name)
+            grads_a, warped_const = jax.lax.optimization_barrier(
+                (grads_a, jax.lax.stop_gradient(warped_m)))
+
+            def loss_b(params):
+                logits_f, new_bn2 = _apply_model(
+                    seg_state.replace(batch_stats=new_bn), params, fixed,
+                    train=True)
+                f_probs = branch_probs(logits_f, f_has, onehot_f)
+                anat_b = _soft_dice(warped_const, f_probs)
+                sup_f = sup_loss(logits_f.astype(jnp.float32),
+                                 fixed_seg.astype(jnp.int32))
+                loss = anatomy_weight * anat_b \
+                    + supervised_weight * sup_f * wf
+                return loss, (new_bn2, sup_f)
+
+            (_, (new_bn2, sup_f)), grads_b = jax.value_and_grad(
+                loss_b, has_aux=True)(seg_state.params)
+            grads = jax.tree_util.tree_map(
+                jnp.add, grads_a, lax.pmean(grads_b, axis_name))
+            sup = lax.psum(sup_m * lm + sup_f * lf, axis_name) / n_lab
+            loss = anatomy_weight * anat + supervised_weight * sup
+            metrics = {"loss": loss, "anatomy": anat, "supervised": sup}
+            metrics = {"loss": lax.pmean(metrics["loss"], axis_name),
+                       "anatomy": lax.pmean(anat, axis_name),
+                       "supervised": sup}
+            return grads, lax.pmean(new_bn2, axis_name), metrics
 
         def loss_fn(params):
             logits_m, new_bn = _apply_model(seg_state, params, moving,
@@ -192,28 +290,15 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
             logits_f, new_bn2 = _apply_model(
                 seg_state.replace(batch_stats=new_bn), params, fixed,
                 train=True)
-            probs_m = jax.nn.softmax(logits_m.astype(jnp.float32), axis=-1)
-            probs_f = jax.nn.softmax(logits_f.astype(jnp.float32), axis=-1)
-            onehot_m = one_hot(moving_seg.astype(jnp.int32), n_class)
-            m_probs = jnp.where(m_has[:, None, None, None, None], onehot_m,
-                                probs_m)
-            warped_m = grid_sample(m_probs, deform, mode="trilinear")
-            onehot_f = one_hot(fixed_seg.astype(jnp.int32), n_class)
-            f_probs = jnp.where(f_has[:, None, None, None, None], onehot_f,
-                                probs_f)
-            inter = jnp.sum(warped_m[..., 1:] * f_probs[..., 1:],
-                            axis=(1, 2, 3))
-            denom = jnp.sum(warped_m[..., 1:], axis=(1, 2, 3)) + \
-                jnp.sum(f_probs[..., 1:], axis=(1, 2, 3))
-            anat = 1.0 - jnp.mean(2.0 * inter / (denom + 1e-5))
+            m_probs = branch_probs(logits_m, m_has, onehot_m)
+            f_probs = branch_probs(logits_f, f_has, onehot_f)
+            warped_m = seg_warp_fn(m_probs, deform)
+            anat = _soft_dice(warped_m, f_probs)
             sup_m = sup_loss(logits_m.astype(jnp.float32),
                              moving_seg.astype(jnp.int32))
             sup_f = sup_loss(logits_f.astype(jnp.float32),
                              fixed_seg.astype(jnp.int32))
-            any_m = jnp.any(m_has).astype(jnp.float32)
-            any_f = jnp.any(f_has).astype(jnp.float32)
-            sup = (sup_m * any_m + sup_f * any_f) / jnp.maximum(
-                any_m + any_f, 1.0)
+            sup = sup_m * wm + sup_f * wf
             loss = anatomy_weight * anat + supervised_weight * sup
             return loss, (new_bn2, anat, sup)
 

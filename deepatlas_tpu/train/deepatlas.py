@@ -109,10 +109,12 @@ class DeepAtlasExperiment(BaseExperiment):
             batch_size=1, shuffle=False, prefetch=2)
 
     def setup_model(self):
+        from ..models import resolve_model_settings
         self.seg_model = get_network(self.config["seg_model"])(
-            **self.config["seg_model_settings"])
+            **resolve_model_settings(self.config["seg_model_settings"]))
         self.reg_model = get_network(self.config["reg_model"])(
-            **self.config.get("reg_model_settings", {}))
+            **resolve_model_settings(
+                self.config.get("reg_model_settings", {})))
 
     def setup_loss(self):
         self.sim_loss = get_loss_function(self.config.get("sim_loss", "lncc"))(
@@ -160,20 +162,33 @@ class DeepAtlasExperiment(BaseExperiment):
             from ..pallas import pallas_grid_sample
             warp_fn = partial(pallas_grid_sample,
                               max_disp=self.config.get("max_disp", 8))
+            # seg phase: frozen reg field -> values-only warp VJP
+            seg_warp_fn = partial(pallas_grid_sample,
+                                  max_disp=self.config.get("max_disp", 8),
+                                  grad="values")
             anatomy_dtype = jnp.bfloat16
         else:
             from ..train.reg_steps import grid_sample as warp_fn
+            seg_warp_fn = warp_fn
             anatomy_dtype = None
+        use_pallas = self.config.get("use_pallas_warp", True)
+        max_disp = self.config.get("max_disp", 8) if use_pallas else None
+        # packed seg models don't need per-block remat of the seg apply
+        packed_seg = self.config.get("seg_model_settings", {}).get("packed",
+                                                                   False)
         self.reg_step = make_joint_reg_step(
             self.sim_loss, self.reg_loss,
             self.config.get("reg_weight", 1.0),
             self.config.get("anatomy_weight", 1.0), n_class,
-            warp_fn=warp_fn, anatomy_dtype=anatomy_dtype)
+            warp_fn=warp_fn, anatomy_dtype=anatomy_dtype,
+            max_disp=max_disp,
+            fused_anatomy=self.config.get("fused_anatomy", use_pallas))
         self.seg_step = make_joint_seg_step(
             self.sup_loss, self.config.get("anatomy_weight", 1.0),
             self.config.get("supervised_weight", 1.0), n_class,
-            warp_fn=warp_fn, anatomy_dtype=anatomy_dtype,
-            checkpoint_apply=self.config.get("checkpoint_seg_apply", True))
+            warp_fn=seg_warp_fn, anatomy_dtype=anatomy_dtype,
+            checkpoint_apply=self.config.get("checkpoint_seg_apply",
+                                             not packed_seg))
         self.seg_eval_step = make_seg_eval_step(n_class)
         self.reg_eval_step = make_reg_eval_step(n_class)
 

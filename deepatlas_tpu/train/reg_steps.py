@@ -86,18 +86,26 @@ def make_reg_eval_step(n_class: int):
 def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
                         reg_weight: float, anatomy_weight: float,
                         n_class: int, warp_fn: Callable = grid_sample,
-                        anatomy_dtype=None, max_disp: int | None = None):
+                        anatomy_dtype=None, max_disp: int | None = None,
+                        fused_anatomy: bool = False):
     """Reg-phase step of joint training: updates the reg net against
     similarity + smoothness + anatomy consistency, with the (frozen) seg net
     filling in missing labels.
 
     ``warp_fn(vol, grid)`` warps the one-hot anatomy (default: the XLA
     composition; pass ``pallas_grid_sample`` for the TPU kernel — XLA's
-    gather is prohibitive at C = n_class).
+    gather is prohibitive at C = n_class).  ``fused_anatomy=True`` skips the
+    dense C = n_class one-hot warp entirely: in the reg phase both
+    anatomies are hard labels (ground truth or the frozen seg net's
+    argmax), so the matched-warp kernel (pallas/anatomy.py) computes the
+    identical dice at C=1 cost — requires ``max_disp``.
 
     Signature: (reg_state, seg_state, moving, fixed, moving_seg, fixed_seg,
     moving_has_label, fixed_has_label) -> (reg_state, metrics)
     """
+    if fused_anatomy and max_disp is None:
+        raise ValueError("fused_anatomy requires max_disp (the Pallas "
+                         "anatomy kernels are displacement-bounded)")
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(reg_state: TrainState, seg_state: TrainState, moving, fixed,
@@ -113,8 +121,8 @@ def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
                           moving_seg.astype(jnp.int32), pred_m)
         lab_f = jnp.where(fixed_has_label[:, None, None, None],
                           fixed_seg.astype(jnp.int32), pred_f)
-        onehot_m = one_hot(lab_m, n_class,
-                           dtype=anatomy_dtype or jnp.float32)
+        onehot_m = None if fused_anatomy else one_hot(
+            lab_m, n_class, dtype=anatomy_dtype or jnp.float32)
 
         def loss_fn(params):
             disp, warped, deform = reg_state.apply_fn(
@@ -124,8 +132,13 @@ def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
             reg = reg_loss(disp.astype(jnp.float32))
             # NB: deform stays f32 — bf16 voxel coordinates lose ~0.5 voxel
             # of precision; only the warped *values* may be low-precision
-            warped_onehot = warp_fn(onehot_m, deform)
-            anat = soft_dice_on_probs(warped_onehot, lab_f, n_class)
+            if fused_anatomy:
+                from ..pallas.anatomy import hard_anatomy_dice
+                anat = hard_anatomy_dice(lab_m, lab_f, deform, n_class,
+                                         max_disp=max_disp)
+            else:
+                warped_onehot = warp_fn(onehot_m, deform)
+                anat = soft_dice_on_probs(warped_onehot, lab_f, n_class)
             return sim + reg_weight * reg + anatomy_weight * anat, \
                 (sim, reg, anat, deform)
 

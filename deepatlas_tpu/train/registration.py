@@ -93,7 +93,9 @@ class RegistrationExperiment(BaseExperiment):
 
     def setup_model(self):
         model_type = get_network(self.config["model"])
-        self.model = model_type(**self.config.get("model_settings", {}))
+        from ..models import resolve_model_settings
+        self.model = model_type(
+            **resolve_model_settings(self.config.get("model_settings", {})))
 
     def setup_loss(self):
         self.sim_loss = get_loss_function(self.config["loss"])(

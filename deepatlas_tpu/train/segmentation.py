@@ -120,7 +120,9 @@ class SegmentationExperiment(BaseExperiment):
 
     def setup_model(self):
         model_type = get_network(self.config["model"])
-        self.model = model_type(**self.config["model_settings"])
+        from ..models import resolve_model_settings
+        self.model = model_type(
+            **resolve_model_settings(self.config["model_settings"]))
 
     def setup_loss(self):
         self.criterion = get_loss_function(self.config["loss"])(

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--memory", action="store_true",
                     help="print compiled memory analysis instead of running")
     ap.add_argument("--no-bn", action="store_true")
+    ap.add_argument("--no-packed", action="store_true",
+                    help="run the seg U-Net on XLA convs instead of the "
+                         "packed Pallas kernels")
     args = ap.parse_args()
 
     from deepatlas_tpu.losses import get_loss_function
@@ -51,9 +54,12 @@ def main():
     fseg = jax.random.randint(ks[3], (1, d, h, w), 0, nc, jnp.int32)
     has = jnp.ones((1,), bool)
 
+    packed = not args.no_packed
     seg_model = UNetLight(in_channel=1, n_classes=nc, bias=True,
-                          BN=not args.no_bn, dtype=jnp.bfloat16, remat=True)
-    reg_model = VoxelMorphCVPR2018(dtype=jnp.bfloat16, remat=True,
+                          BN=not args.no_bn, dtype=jnp.bfloat16,
+                          packed=packed, remat=not packed)
+    reg_model = VoxelMorphCVPR2018(dtype=jnp.bfloat16, remat=not packed,
+                                   packed=packed,
                                    use_pallas_warp=True, max_disp=8)
     sv = seg_model.init(ks[4], moving, train=False)
     rv = reg_model.init(ks[5], moving, fixed)
@@ -71,9 +77,13 @@ def main():
 
     from deepatlas_tpu.pallas import pallas_grid_sample
     wfn = partial(pallas_grid_sample, max_disp=8)
+    # seg phase: the reg field is frozen — skip the C=n_class grid-gradient
+    # kernels in the warp VJP
+    wfn_seg = partial(pallas_grid_sample, max_disp=8, grad="values")
     jr = make_joint_reg_step(sim, regl, 1.0, 1.0, nc, warp_fn=wfn,
-                             anatomy_dtype=jnp.bfloat16)
-    js = make_joint_seg_step(sup, 1.0, 1.0, nc, warp_fn=wfn,
+                             anatomy_dtype=jnp.bfloat16, max_disp=8,
+                             fused_anatomy=packed)
+    js = make_joint_seg_step(sup, 1.0, 1.0, nc, warp_fn=wfn_seg,
                              anatomy_dtype=jnp.bfloat16, two_pass=True)
     reg_args = (rs, ss, moving, fixed, mseg, fseg, has, has)
     seg_args = (ss, rs, moving, fixed, mseg, fseg, has, has)

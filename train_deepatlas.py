@@ -29,10 +29,18 @@ def build_config(args) -> dict:
         save_ckpts_epoch_period=1,
 
         seg_model="UNet_light",
+        # packed: the lane-packed Pallas conv path (pallas/conv3d.py) —
+        # full-size 168x200x168 joint training fits one chip with it
         seg_model_settings={"in_channel": 1, "n_classes": n_classes,
-                            "bias": True, "BN": True},
+                            "bias": True, "BN": True,
+                            "dtype": "bfloat16", "packed": not args.no_packed},
         reg_model="voxel_morph_cvpr",
-        reg_model_settings={"use_pallas_warp": True, "max_disp": 8},
+        reg_model_settings={"use_pallas_warp": True, "max_disp": 8,
+                            "dtype": "bfloat16",
+                            "packed": not args.no_packed},
+        use_pallas_warp=True,
+        max_disp=8,
+        fused_anatomy=not args.no_packed,
         n_classes=n_classes,
         n_labeled=args.n_labeled,
 
@@ -95,6 +103,9 @@ def main():
     parser.add_argument("--anatomy-weight", default=3.0, type=float)
     parser.add_argument("--supervised-weight", default=1.0, type=float)
     parser.add_argument("--max-validation-pairs", default=20, type=int)
+    parser.add_argument("--no-packed", action="store_true",
+                        help="disable the packed Pallas conv path (use XLA "
+                             "convolutions; needs far more HBM at full size)")
     parser.add_argument("--data-root", "-root", default="./data", type=str)
     parser.add_argument("--log-root", "-log", default="./logs", type=str)
     args = parser.parse_args()
