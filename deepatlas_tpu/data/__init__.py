@@ -6,9 +6,10 @@ from .datasets import (SegDataSetBrains, SegDataSetMindBoggle,
                        RegDataSetMindBoggle, RegDataSetOAIZIB,
                        RegDataSetOASIS, get_reg_dataset, get_seg_dataset)
 from .loader import DataLoader, endless
-from .transforms import (BalancedRandomCrop, Compose, CropVolume,
-                         IdentityTransform, LeftToRight, PadVolume, Partition,
-                         RandomCrop, SegmentationLabelFilter, VolumeToArray)
+from .transforms import (BalancedRandomCrop, BilateralFilter, Compose,
+                         CropVolume, IdentityTransform, LeftToRight,
+                         Normalization, PadVolume, Partition, RandomCrop,
+                         Resample, SegmentationLabelFilter, VolumeToArray)
 from . import augment
 
 __all__ = [
@@ -17,7 +18,8 @@ __all__ = [
     "SegDataSetOASIS", "RegDataSetBrains", "RegDataSetMindBoggle",
     "RegDataSetOAIZIB", "RegDataSetOASIS", "get_reg_dataset",
     "get_seg_dataset", "DataLoader", "endless",
-    "BalancedRandomCrop", "Compose", "CropVolume", "IdentityTransform",
-    "LeftToRight", "PadVolume", "Partition", "RandomCrop",
-    "SegmentationLabelFilter", "VolumeToArray", "augment",
+    "BalancedRandomCrop", "BilateralFilter", "Compose", "CropVolume",
+    "IdentityTransform", "LeftToRight", "Normalization", "PadVolume",
+    "Partition", "RandomCrop", "Resample", "SegmentationLabelFilter",
+    "VolumeToArray", "augment",
 ]

@@ -53,6 +53,12 @@ def _load() -> Optional[ctypes.CDLL]:
                                    ctypes.c_int32, ctypes.c_int32, f32p,
                                    ctypes.c_int]
     lib.da_nifti_write.restype = ctypes.c_int
+    lib.da_resample_nearest.argtypes = [f32p] + [ctypes.c_int32] * 3 + \
+        [f32p] + [ctypes.c_int32] * 3
+    lib.da_resample_nearest.restype = None
+    lib.da_bilateral.argtypes = [f32p, f32p] + [ctypes.c_int32] * 3 + \
+        [ctypes.c_float, ctypes.c_float, ctypes.c_int32]
+    lib.da_bilateral.restype = None
     lib.da_resample_trilinear.argtypes = [f32p] + [ctypes.c_int32] * 3 + \
         [f32p] + [ctypes.c_int32] * 3
     lib.da_resample_trilinear.restype = None
@@ -144,3 +150,38 @@ def normalize_native(vol: np.ndarray, clamp01: bool = True
     lib.da_normalize(v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                      v.size, 1 if clamp01 else 0)
     return v
+
+
+def resample_nearest_native(vol: np.ndarray,
+                            out_shape: Tuple[int, int, int]
+                            ) -> Optional[np.ndarray]:
+    """Nearest-neighbour resample (label masks) to out_shape (z, y, x)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(vol, np.float32)
+    sz, sy, sx = src.shape
+    dz, dy, dx = out_shape
+    dst = np.empty((dz, dy, dx), np.float32)
+    lib.da_resample_nearest(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), sx, sy, sz,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dx, dy, dz)
+    return dst
+
+
+def bilateral_native(vol: np.ndarray, domain_sigma: float,
+                     range_sigma: float,
+                     n_range_samples: int = 50) -> Optional[np.ndarray]:
+    """3-D bilateral filter (z, y, x) float32."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(vol, np.float32)
+    sz, sy, sx = src.shape
+    dst = np.empty_like(src)
+    lib.da_bilateral(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        sx, sy, sz, float(domain_sigma), float(range_sigma),
+        int(n_range_samples))
+    return dst

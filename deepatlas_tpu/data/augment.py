@@ -150,3 +150,66 @@ def gaussian_blur(image: jnp.ndarray, sigma: float = 0.7,
         moved = conv(flat).reshape(moved.shape)
         out = jnp.moveaxis(moved, -1, axis)
     return out
+
+
+def make_augmenter(config: dict):
+    """Config-driven batch augmenter for the experiments.
+
+    The reference composes its random transforms per experiment
+    (models/segmentation.py:63-64); here a config dict enables the
+    device-side equivalents, e.g.::
+
+        {"bspline": {"mesh_size": [3, 3, 3], "deform_scale": 2.0,
+                     "ratio": 0.5},
+         "rigid":   {"rotation_angles": [5, 5, 5],
+                     "translation": [2, 2, 2], "ratio": 0.5,
+                     "mode": "both"},
+         "blur":    {"sigma": 0.7, "ratio": 0.3}}
+
+    Returns ``augment(key, images (B,D,H,W,C), segs (B,D,H,W) | None) ->
+    (images, segs)`` applying the enabled augmentations per batch element
+    (independent keys), or ``None`` when the config is empty/falsy.
+    """
+    if not config:
+        return None
+    bspline = config.get("bspline")
+    rigid = config.get("rigid")
+    blur = config.get("blur")
+
+    def augment_one(key, image, seg):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        if bspline:
+            image, seg = random_bspline_warp(
+                k1, image, seg,
+                mesh_size=tuple(bspline.get("mesh_size", (3, 3, 3))),
+                deform_scale=bspline.get("deform_scale", 1.0),
+                ratio=bspline.get("ratio", 0.5),
+                freeze_axes=tuple(bspline.get("freeze_axes", ())))
+        if rigid:
+            image, seg = random_rigid_warp(
+                k2, image, seg,
+                rotation_angles=tuple(rigid.get("rotation_angles",
+                                                (0.0, 0.0, 0.0))),
+                translation=tuple(rigid.get("translation", (0.0, 0.0, 0.0))),
+                ratio=rigid.get("ratio", 1.0),
+                mode=rigid.get("mode", "both"))
+        if blur:
+            blurred = gaussian_blur(image, sigma=blur.get("sigma", 0.7))
+            apply = jax.random.uniform(k3) < blur.get("ratio", 1.0)
+            image = jnp.where(apply, blurred, image)
+        del k4
+        return image, seg
+
+    def augment(key, images, segs=None):
+        out_imgs, out_segs = [], []
+        for b in range(images.shape[0]):
+            kb = jax.random.fold_in(key, b)
+            seg_b = None if segs is None else segs[b]
+            img_b, seg_b = augment_one(kb, images[b], seg_b)
+            out_imgs.append(img_b)
+            out_segs.append(seg_b)
+        images = jnp.stack(out_imgs)
+        segs = None if segs is None else jnp.stack(out_segs)
+        return images, segs
+
+    return augment

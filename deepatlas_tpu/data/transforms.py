@@ -344,3 +344,178 @@ class Partition:
                 img.copy_information(self.like)
             return img
         return out
+
+
+class Resample:
+    """Resample image + segmentation to a target voxel size
+    (lib/transforms.py:9-57 capability).
+
+    Output size per axis is ``ceil(old_spacing * old_size / new_spacing)``
+    (the reference's formula).  The image resamples trilinearly via the
+    native tier (numpy fallback); the segmentation resamples
+    nearest-neighbour — a documented divergence from the reference, which
+    runs *linear* interpolation on the label mask too (blending label ids);
+    pass ``seg_interpolator="linear"`` for bit-faithful quirk parity.
+
+    Must run before ``VolumeToArray`` does its channel/clamp work? No —
+    it operates on the numpy (D, H, W[, 1]) arrays + the ``spacing`` key
+    that ``VolumeToArray`` records, so compose it *after* VolumeToArray.
+    """
+
+    def __init__(self, voxel_size, seg_interpolator: str = "nearest"):
+        if isinstance(voxel_size, (int, float)):
+            voxel_size = (float(voxel_size),) * 3
+        if len(voxel_size) != 3:
+            raise ValueError("voxel_size must be a float or 3-tuple")
+        self.voxel_size = tuple(float(v) for v in voxel_size)  # (sx, sy, sz)
+        if seg_interpolator not in ("nearest", "linear"):
+            raise ValueError("seg_interpolator must be nearest|linear")
+        self.seg_interpolator = seg_interpolator
+
+    @staticmethod
+    def _trilinear(vol, out_shape):
+        from ._native import resample_trilinear_native
+        out = resample_trilinear_native(vol, out_shape)
+        if out is not None:
+            return out
+        # numpy fallback: sample target voxel centers in the source grid
+        sz, sy, sx = vol.shape
+        dz, dy, dx = out_shape
+        zc = (np.arange(dz) + 0.5) * (sz / dz) - 0.5
+        yc = (np.arange(dy) + 0.5) * (sy / dy) - 0.5
+        xc = (np.arange(dx) + 0.5) * (sx / dx) - 0.5
+
+        def axis_idx(c, n):
+            i0 = np.floor(c).astype(np.int64)
+            t = c - i0
+            return (np.clip(i0, 0, n - 1), np.clip(i0 + 1, 0, n - 1),
+                    t.astype(np.float32))
+
+        z0, z1, tz = axis_idx(zc, sz)
+        y0, y1, ty = axis_idx(yc, sy)
+        x0, x1, tx = axis_idx(xc, sx)
+        v = vol
+        c00 = v[z0][:, y0][:, :, x0] * (1 - tx) + v[z0][:, y0][:, :, x1] * tx
+        c01 = v[z0][:, y1][:, :, x0] * (1 - tx) + v[z0][:, y1][:, :, x1] * tx
+        c10 = v[z1][:, y0][:, :, x0] * (1 - tx) + v[z1][:, y0][:, :, x1] * tx
+        c11 = v[z1][:, y1][:, :, x0] * (1 - tx) + v[z1][:, y1][:, :, x1] * tx
+        c0 = c00 * (1 - ty[None, :, None]) + c01 * ty[None, :, None]
+        c1 = c10 * (1 - ty[None, :, None]) + c11 * ty[None, :, None]
+        return (c0 * (1 - tz[:, None, None])
+                + c1 * tz[:, None, None]).astype(np.float32)
+
+    @staticmethod
+    def _nearest(vol, out_shape):
+        from ._native import resample_nearest_native
+        out = resample_nearest_native(vol, out_shape)
+        if out is not None:
+            return out
+        sz, sy, sx = vol.shape
+        dz, dy, dx = out_shape
+        zi = np.clip(np.floor((np.arange(dz) + 0.5) * (sz / dz)).astype(
+            np.int64), 0, sz - 1)
+        yi = np.clip(np.floor((np.arange(dy) + 0.5) * (sy / dy)).astype(
+            np.int64), 0, sy - 1)
+        xi = np.clip(np.floor((np.arange(dx) + 0.5) * (sx / dx)).astype(
+            np.int64), 0, sx - 1)
+        return vol[zi][:, yi][:, :, xi]
+
+    def __call__(self, sample):
+        import math
+
+        spacing = sample.get("spacing", (1.0, 1.0, 1.0))  # (sx, sy, sz)
+        img = sample["image"]
+        squeeze = img.ndim == 4
+        vol = img[..., 0] if squeeze else img            # (D, H, W)
+        sz, sy, sx = vol.shape
+        # sizes are (x, y, z) in sitk convention; arrays are (z, y, x)
+        new_sx = int(math.ceil(spacing[0] * sx / self.voxel_size[0]))
+        new_sy = int(math.ceil(spacing[1] * sy / self.voxel_size[1]))
+        new_sz = int(math.ceil(spacing[2] * sz / self.voxel_size[2]))
+        out_shape = (new_sz, new_sy, new_sx)
+        out = self._trilinear(np.asarray(vol, np.float32), out_shape)
+        sample["image"] = out[..., None] if squeeze else out
+        sample["spacing"] = self.voxel_size
+        seg = sample.get("segmentation")
+        if seg is not None:
+            seg_f = np.asarray(seg, np.float32)
+            if self.seg_interpolator == "nearest":
+                res = self._nearest(seg_f, out_shape)
+            else:
+                res = self._trilinear(seg_f, out_shape)
+            sample["segmentation"] = np.rint(res).astype(seg.dtype)
+        return sample
+
+
+class Normalization:
+    """Zero-mean / unit-variance intensity normalization of the image
+    (lib/transforms.py:59-68, sitk.NormalizeImageFilter capability).
+    Runs on the numpy image via the native tier (numpy fallback)."""
+
+    def __call__(self, sample):
+        from ._native import normalize_native
+
+        img = np.asarray(sample["image"], np.float32)
+        out = normalize_native(img.reshape(-1), clamp01=False)
+        if out is not None:
+            sample["image"] = out.reshape(img.shape)
+        else:
+            mu = float(img.mean())
+            sd = float(img.std())
+            sample["image"] = (img - mu) / (sd + 1e-12)
+        return sample
+
+
+class BilateralFilter:
+    """Edge-preserving bilateral smoothing of the image with probability
+    ``ratio`` (lib/transforms.py:308-320, sitk.Bilateral capability).
+
+    ``domain_sigma`` is the spatial gaussian sigma in voxels,
+    ``range_sigma`` the intensity gaussian sigma; the range gaussian is
+    evaluated through a sampled lookup table like ITK's
+    numberOfRangeGaussianSamples."""
+
+    def __init__(self, domain_sigma: float = 0.5, range_sigma: float = 0.06,
+                 n_range_samples: int = 50, ratio: float = 1.0,
+                 rng: Optional[np.random.RandomState] = None):
+        self.domain_sigma = domain_sigma
+        self.range_sigma = range_sigma
+        self.n_range_samples = n_range_samples
+        self.ratio = ratio
+        self.rng = rng or np.random
+
+    def _filter(self, vol):
+        from ._native import bilateral_native
+
+        out = bilateral_native(vol, self.domain_sigma, self.range_sigma,
+                               self.n_range_samples)
+        if out is not None:
+            return out
+        # numpy fallback (small volumes / no toolchain): brute-force window
+        r = max(int(np.ceil(2.5 * self.domain_sigma)), 1)
+        pad = np.pad(vol, r, mode="edge")
+        num = np.zeros_like(vol)
+        den = np.zeros_like(vol)
+        inv_d = 1.0 / (2 * self.domain_sigma ** 2)
+        inv_r = 1.0 / (2 * self.range_sigma ** 2)
+        sz, sy, sx = vol.shape
+        for dz in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    sw = np.exp(-(dz * dz + dy * dy + dx * dx) * inv_d)
+                    nb = pad[r + dz:r + dz + sz, r + dy:r + dy + sy,
+                             r + dx:r + dx + sx]
+                    wgt = sw * np.exp(-(nb - vol) ** 2 * inv_r)
+                    num += wgt * nb
+                    den += wgt
+        return (num / np.maximum(den, 1e-12)).astype(np.float32)
+
+    def __call__(self, sample):
+        if float(self.rng.rand(1)[0]) >= self.ratio:
+            return sample
+        img = sample["image"]
+        squeeze = img.ndim == 4
+        vol = np.asarray(img[..., 0] if squeeze else img, np.float32)
+        out = self._filter(vol)
+        sample["image"] = out[..., None] if squeeze else out
+        return sample

@@ -80,18 +80,25 @@ def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, out_ref,
         wz = _tent(gz - s.astype(jnp.float32))
 
         def y_body(dy, acc):
-            k = jnp.mod(hp - (yp + dy), hp)
-            plane = jnp.broadcast_to(
-                pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h], gz.shape)
-            v0 = _lane_gather(plane, ix0c)
-            v1 = _lane_gather(plane, ix1c)
-            eq0 = x_ok0 & (jnp.abs(v0 - lf) < 0.5)
-            eq1 = x_ok1 & (jnp.abs(v1 - lf) < 0.5)
-            xv = jnp.where(eq0, 1.0 - fx, 0.0) + jnp.where(eq1, fx, 0.0)
             y_src = rows + dy
             wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
                            _tent(ty - dy.astype(jnp.float32)), 0.0)
-            return acc + wz * wy * xv
+            wzy = wz * wy
+
+            def y_work(acc):
+                k = jnp.mod(hp - (yp + dy), hp)
+                plane = jnp.broadcast_to(
+                    pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h],
+                    gz.shape)
+                v0 = _lane_gather(plane, ix0c)
+                v1 = _lane_gather(plane, ix1c)
+                eq0 = x_ok0 & (jnp.abs(v0 - lf) < 0.5)
+                eq1 = x_ok1 & (jnp.abs(v1 - lf) < 0.5)
+                xv = jnp.where(eq0, 1.0 - fx, 0.0) + jnp.where(eq1, fx, 0.0)
+                return acc + wzy * xv
+
+            return jax.lax.cond(jnp.max(wzy) > 0.0, y_work, lambda a: a,
+                                acc)
 
         return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, acc)
 

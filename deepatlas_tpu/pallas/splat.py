@@ -50,21 +50,17 @@ def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, dvol_ref,
     planes = jax.lax.broadcasted_iota(
         jnp.int32, (s_out, h, wp), 0).astype(jnp.float32)
 
-    # global scalar bounds (Mosaic cannot dynamically index materialized
+    # global scalar z bounds (Mosaic cannot dynamically index materialized
     # vectors, so all per-plane selection below reads the *refs* at a traced
-    # plane index, and the z iteration range comes from these scalars)
+    # plane index); the y/x offset ranges adapt PER RECEIVER PLANE inside
+    # k_body — a registration field is spatially smooth, so one plane's
+    # offset spread is far tighter than the whole 2(r+1)+tz-plane slab's
+    # (the difference between O(spread^2) and O((2r)^2) inner iterations
+    # for large-but-smooth fields)
     gz_all = gz_s[...]
     zoff = gz_all - (planes + o0.astype(jnp.float32))   # z-displacements
     zoff_min = jnp.min(zoff)
     zoff_max = jnp.max(zoff)
-    ty_all = gy_s[...] - jax.lax.broadcasted_iota(
-        jnp.int32, (s_out, h, wp), 1).astype(jnp.float32)
-    tx_all = gx_s[...] - jax.lax.broadcasted_iota(
-        jnp.int32, (s_out, h, wp), 2).astype(jnp.float32)
-    dy_lo, dy_hi = _range_from(jnp.min(-ty_all) - 1.0,
-                               jnp.max(-ty_all) + 1.0, -(r + 1), r + 1)
-    dx_lo, dx_hi = _range_from(jnp.min(-tx_all) - 1.0,
-                               jnp.max(-tx_all) + 1.0, -(r + 1), r + 1)
 
     for sl in range(tz):
         s_global = t0 + sl
@@ -80,26 +76,50 @@ def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, dvol_ref,
 
         def k_body(k, acc):
             gzk = gz_s[k]
-            f0 = ct_s[k].astype(jnp.float32) * _tent(gzk - sf)
-            tyk = gy_s[k] - rows2.astype(jnp.float32)
-            txk = gx_s[k] - cols2.astype(jnp.float32)
+            wz = _tent(gzk - sf)
 
-            def dy_body(dy, acc):
-                fy = f0 * _tent(tyk + dy.astype(jnp.float32))
+            # a receiver plane whose whole z-tent misses this source plane
+            # costs one reduction, not the dy x dx loops (the k-range is a
+            # slab-global bound; per-plane mass is usually concentrated)
+            def k_work(acc):
+                f0 = ct_s[k].astype(jnp.float32) * wz
+                tyk = gy_s[k] - rows2.astype(jnp.float32)
+                txk = gx_s[k] - cols2.astype(jnp.float32)
+                dy_lo, dy_hi = _range_from(jnp.min(-tyk) - 1.0,
+                                           jnp.max(-tyk) + 1.0, -(r + 1),
+                                           r + 1)
+                dx_lo, dx_hi = _range_from(jnp.min(-txk) - 1.0,
+                                           jnp.max(-txk) + 1.0, -(r + 1),
+                                           r + 1)
 
-                def dx_body(dx, acc):
-                    t = fy * _tent(txk + dx.astype(jnp.float32))
-                    g = pltpu.roll(t, jnp.mod(-dx, wp), 1)
-                    g = pltpu.roll(g, jnp.mod(-dy, h), 0)
-                    # rolled-in wrap rows/cols are invalid: receiver q must
-                    # satisfy q + delta in-range
-                    q_ok = ((rows2 + dy >= 0) & (rows2 + dy <= h - 1)
-                            & (cols2 + dx >= 0) & (cols2 + dx <= w - 1))
-                    return acc + jnp.where(q_ok, g, 0.0)
+                def dy_body(dy, acc):
+                    fy = f0 * _tent(tyk + dy.astype(jnp.float32))
 
-                return jax.lax.fori_loop(dx_lo, dx_hi + 1, dx_body, acc)
+                    def dy_work(acc):
+                        # accumulate the x-offsets unshifted in y, then one
+                        # row roll per dy (the row shift commutes with the
+                        # lane work — saves dx_range-1 rolls per dy)
+                        def dx_body(dx, acc_x):
+                            t = fy * _tent(txk + dx.astype(jnp.float32))
+                            g = pltpu.roll(t, jnp.mod(-dx, wp), 1)
+                            cols_sh = cols2 + dx
+                            x_ok = (cols_sh >= 0) & (cols_sh <= w - 1)
+                            return acc_x + jnp.where(x_ok, g, 0.0)
 
-            return jax.lax.fori_loop(dy_lo, dy_hi + 1, dy_body, acc)
+                        acc_x = jax.lax.fori_loop(
+                            dx_lo, dx_hi + 1, dx_body,
+                            jnp.zeros((h, wp), jnp.float32))
+                        g2 = pltpu.roll(acc_x, jnp.mod(-dy, h), 0)
+                        rows_sh = rows2 + dy
+                        y_ok = (rows_sh >= 0) & (rows_sh <= h - 1)
+                        return acc + jnp.where(y_ok, g2, 0.0)
+
+                    return jax.lax.cond(jnp.max(jnp.abs(fy)) > 0.0, dy_work,
+                                        lambda a: a, acc)
+
+                return jax.lax.fori_loop(dy_lo, dy_hi + 1, dy_body, acc)
+
+            return jax.lax.cond(jnp.max(wz) > 0.0, k_work, lambda a: a, acc)
 
         acc = jax.lax.fori_loop(k_lo, k_hi + 1, k_body,
                                 jnp.zeros((h, wp), jnp.float32))

@@ -149,23 +149,33 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
         wz = _tent(gz - s.astype(jnp.float32))
 
         def y_body(dy, acc):
-            # realize the dy row shift as a cyclic roll + aligned static
-            # slice: unaligned sublane slices of VMEM cannot be vector-
-            # loaded or gathered from (Mosaic 8-row tiling), but
-            # tpu.dynamic_rotate takes any shift.  Wrapped rows carry the
-            # zeroed padding and are masked by the y-validity weight.
-            k = jnp.mod(hp - (yp + dy), hp)
-            # tpu.dynamic_rotate is 32-bit only: cast the plane up first
-            plane = jnp.broadcast_to(
-                pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h], gz.shape)
-            v0 = _lane_gather(plane, ix0c)
-            v1 = _lane_gather(plane, ix1c)
-            xv = jnp.where(x_ok0, (1.0 - fx) * v0, 0.0) + \
-                jnp.where(x_ok1, fx * v1, 0.0)
             y_src = rows + dy
             wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
                            _tent(ty - dy.astype(jnp.float32)), 0.0)
-            return acc + wz * wy * xv
+            wzy = wz * wy
+
+            def y_work(acc):
+                # realize the dy row shift as a cyclic roll + aligned
+                # static slice: unaligned sublane slices of VMEM cannot be
+                # vector-loaded or gathered from (Mosaic 8-row tiling), but
+                # tpu.dynamic_rotate takes any shift.  Wrapped rows carry
+                # the zeroed padding and are masked by the y-validity
+                # weight.
+                k = jnp.mod(hp - (yp + dy), hp)
+                # tpu.dynamic_rotate is 32-bit only: cast the plane first
+                plane = jnp.broadcast_to(
+                    pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h],
+                    gz.shape)
+                v0 = _lane_gather(plane, ix0c)
+                v1 = _lane_gather(plane, ix1c)
+                xv = jnp.where(x_ok0, (1.0 - fx) * v0, 0.0) + \
+                    jnp.where(x_ok1, fx * v1, 0.0)
+                return acc + wzy * xv
+
+            # (s, dy) combos whose combined tent mass is zero cost one
+            # reduction instead of the rolls + gathers
+            return jax.lax.cond(jnp.max(wzy) > 0.0, y_work, lambda a: a,
+                                acc)
 
         return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, acc)
 

@@ -42,14 +42,28 @@ def save_checkpoint(state: dict, is_best: bool, path: str,
 
 
 def load_checkpoint(path: str, template: Optional[Any] = None) -> dict:
-    """Restore a checkpoint directory saved by ``save_checkpoint``."""
+    """Restore a checkpoint directory saved by ``save_checkpoint``.
+
+    Tolerates top-level key drift between the template and the on-disk
+    tree (e.g. checkpoints written before scheduler state was persisted,
+    or test-time templates that don't carry it): on a structure mismatch
+    the tree is restored raw and merged into the template's keys.
+    """
     path = os.path.abspath(path)
     if not os.path.isdir(path):
         raise ValueError(f"=> no checkpoint found at '{path}'")
     ckpt = _checkpointer()
     if template is not None:
         template = jax.device_get(template)
-        return ckpt.restore(path, item=template)
+        try:
+            return ckpt.restore(path, item=template)
+        except ValueError:
+            raw = ckpt.restore(path)
+            merged = dict(template)
+            for key in merged:
+                if key in raw:
+                    merged[key] = raw[key]
+            return merged
     return ckpt.restore(path)
 
 

@@ -121,9 +121,13 @@ class RegistrationExperiment(BaseExperiment):
         self.state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"],
             batch_stats=variables.get("batch_stats", {}), tx=self.tx)
+        ms = self.config.get("model_settings", {})
         self.train_step = make_reg_train_step(
             self.sim_loss, self.reg_loss,
-            self.config.get("reg_weight", 1.0))
+            self.config.get("reg_weight", 1.0),
+            # surface the Pallas warp's saturation as a step metric
+            max_disp=(ms.get("max_disp", 8)
+                      if ms.get("use_pallas_warp") else None))
         self.eval_step = make_reg_eval_step(self.config["n_classes"])
 
     def _maybe_resume(self):
@@ -131,11 +135,20 @@ class RegistrationExperiment(BaseExperiment):
         if resume_dir:
             template = {"epoch": 0, "reg_best_score": 0.0,
                         "params": self.state.params,
-                        "opt_state": self.state.opt_state}
-            restored, finished_epoch, best = initialize_from(resume_dir,
-                                                             template)
+                        "opt_state": self.state.opt_state,
+                        "scheduler": self.scheduler.state_dict()}
+            try:
+                restored, finished_epoch, best = initialize_from(resume_dir,
+                                                                 template)
+            except Exception:
+                template.pop("scheduler")
+                restored, finished_epoch, best = initialize_from(resume_dir,
+                                                                 template)
             self.state = self.state.replace(params=restored["params"],
                                             opt_state=restored["opt_state"])
+            from .schedules import scheduler_from_restored
+            scheduler_from_restored(self.scheduler,
+                                    restored.get("scheduler"))
             self.best_score = best
             self.current_epoch = finished_epoch + 1
 
@@ -229,6 +242,8 @@ class RegistrationExperiment(BaseExperiment):
                                self.global_step)
         self.writer.add_scalar(f"validation_{data_name}/folding_fraction",
                                folding, self.global_step)
+        if self.config.get("image_summary", True):
+            self._write_image_summaries()
         print("Validation: Dice Avg: {:.4f} folding {:.5f} ({:.3f} sec) {}"
               .format(dice_avg, folding, time.time() - start,
                       datetime.datetime.now().strftime("%D %H:%M:%S")))
@@ -236,8 +251,46 @@ class RegistrationExperiment(BaseExperiment):
             save_checkpoint({"epoch": self.current_epoch,
                              "params": self.state.params,
                              "opt_state": self.state.opt_state,
-                             "reg_best_score": self.best_score},
+                             "reg_best_score": self.best_score,
+                             "scheduler": self.scheduler.state_dict()},
                             is_best, self.ckpoint_dir)
+
+    def _write_image_summaries(self):
+        """TensorBoard image panels for the first validation pair: the
+        reference's registration summary (3-plane source|warped|target,
+        displacement magnitude, warped masks — lib/visualize.py:227-293)
+        plus the deformation contour grid (lib/visualize.py:105-189)."""
+        import numpy as np
+
+        from ..ops import warp_labels
+        from ..utils.visualize import (generate_deform_grid,
+                                       make_registration_image_summary)
+
+        batch_m, batch_f = next(iter(self.validation_data_loader))
+        moving = jnp.asarray(batch_m["image"][:1])
+        fixed = jnp.asarray(batch_f["image"][:1])
+        mseg = jnp.asarray(batch_m["segmentation"][:1].astype(np.int32))
+        fseg = jnp.asarray(batch_f["segmentation"][:1].astype(np.int32))
+        if not hasattr(self, "_vis_fwd"):
+            self._vis_fwd = jax.jit(
+                lambda state, m, f: state.apply_fn(
+                    {"params": state.params}, m, f, train=False))
+        disp, warped, deform = self._vis_fwd(self.state, moving, fixed)
+        warped_seg = warp_labels(mseg, deform)
+        grids = make_registration_image_summary(
+            np.asarray(moving), np.asarray(fixed),
+            np.asarray(warped, np.float32), np.asarray(disp, np.float32),
+            np.asarray(deform, np.float32), np.asarray(mseg),
+            np.asarray(fseg), np.asarray(warped_seg))
+        for name, img in grids.items():
+            self.writer.add_image(f"validation/{name}", img,
+                                  self.global_step)
+        mid = deform.shape[1] // 2
+        grid_img = generate_deform_grid(
+            np.asarray(deform, np.float32)[0, mid, :, :, 0:2],
+            np.clip(np.asarray(warped, np.float32)[0, mid, :, :, 0], 0, 1))
+        self.writer.add_image("validation/deform_grid", grid_img,
+                              self.global_step)
 
     # -------------------------------------------------------------- test
     def test(self, best: bool = True, if_log: bool = True):

@@ -172,6 +172,11 @@ class SegmentationExperiment(BaseExperiment):
             self.mesh = None
             self.train_step = make_seg_train_step(self.criterion)
             self.eval_step = make_seg_eval_step(self.config["n_classes"])
+        # device-side random augmentation (B-spline / rigid / blur),
+        # config-driven like the reference's per-experiment Compose
+        # (models/segmentation.py:63-64)
+        from ..data.augment import make_augmenter
+        self.augmenter = make_augmenter(self.config.get("augmentation"))
 
     def _maybe_resume(self):
         resume_dir = self.config.get("resume_dir")
@@ -179,13 +184,23 @@ class SegmentationExperiment(BaseExperiment):
             template = {"epoch": 0, "best_score": 0.0,
                         "params": self.state.params,
                         "batch_stats": self.state.batch_stats,
-                        "opt_state": self.state.opt_state}
-            restored, finished_epoch, best = initialize_from(resume_dir,
-                                                             template)
+                        "opt_state": self.state.opt_state,
+                        "scheduler": self.scheduler.state_dict()}
+            try:
+                restored, finished_epoch, best = initialize_from(resume_dir,
+                                                                 template)
+            except Exception:
+                # older checkpoints carry no scheduler state
+                template.pop("scheduler")
+                restored, finished_epoch, best = initialize_from(resume_dir,
+                                                                 template)
             self.state = self.state.replace(
                 params=restored["params"],
                 batch_stats=restored["batch_stats"],
                 opt_state=restored["opt_state"])
+            from .schedules import scheduler_from_restored
+            scheduler_from_restored(self.scheduler,
+                                    restored.get("scheduler"))
             self.best_score = best
             self.current_epoch = finished_epoch + 1
             print("=> resumed from '{}' (epoch {})".format(resume_dir,
@@ -227,6 +242,10 @@ class SegmentationExperiment(BaseExperiment):
             batch = next(self._train_iter)
             images = jnp.asarray(batch["image"])
             labels = jnp.asarray(batch["segmentation"].astype(np.int32))
+            if self.augmenter is not None:
+                akey = jax.random.fold_in(self.root_key,
+                                          2 ** 20 + self.global_step)
+                images, labels = self.augmenter(akey, images, labels)
             with annotate("seg_train_step"):
                 self.state, loss, logits = self.train_step(self.state,
                                                            images, labels)
@@ -246,6 +265,10 @@ class SegmentationExperiment(BaseExperiment):
                                        global_step=self.global_step)
                 self.writer.add_scalar("learning_rate", self.scheduler.lr,
                                        global_step=self.global_step)
+                self.writer.add_scalar(
+                    "throughput/ingest_wait_fraction",
+                    self.training_data_loader.wait_fraction,
+                    global_step=self.global_step)
                 self.writer.add_scalar("throughput/volumes_per_sec_per_chip",
                                        meter.volumes_per_sec_per_chip,
                                        global_step=self.global_step)
@@ -315,7 +338,8 @@ class SegmentationExperiment(BaseExperiment):
                              "params": self.state.params,
                              "batch_stats": self.state.batch_stats,
                              "opt_state": self.state.opt_state,
-                             "best_score": self.best_score},
+                             "best_score": self.best_score,
+                             "scheduler": self.scheduler.state_dict()},
                             is_best, self.ckpoint_dir)
 
     # -------------------------------------------------------------- test

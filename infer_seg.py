@@ -34,6 +34,13 @@ def main():
                     default=True)
     ap.add_argument("--BN", action=argparse.BooleanOptionalAction,
                     default=True)
+    ap.add_argument("--packed", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="packed-layout Pallas conv path (must match how "
+                         "the checkpoint was trained: packed and standard "
+                         "models have different parameter trees)")
+    ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                    default=True)
     ap.add_argument("--tile-size", type=int, nargs=3, default=[128, 128, 128])
     ap.add_argument("--overlap", type=int, nargs=3, default=[16, 16, 16])
     ap.add_argument("--tile-batch", type=int, default=4)
@@ -65,8 +72,10 @@ def main():
         pre_transform=Compose(transforms))
     loader = DataLoader(dataset, batch_size=1, shuffle=False, prefetch=2)
 
-    model = get_network(args.model)(in_channel=1, n_classes=args.n_classes,
-                                    bias=args.bias, BN=args.BN)
+    model = get_network(args.model)(
+        in_channel=1, n_classes=args.n_classes, bias=args.bias, BN=args.BN,
+        packed=args.packed,
+        dtype=jnp.bfloat16 if args.bf16 else None)
     example = jnp.zeros((1,) + tuple(args.tile_size) + (1,), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), example, train=False)
     template = {"epoch": 0, "best_score": 0.0,

@@ -318,4 +318,101 @@ void da_normalize(float* data, int64_t n, int clamp01) {
     }
 }
 
+
+// Nearest-neighbour resample (for label masks: SimpleITK Resample with a
+// nearest interpolator — our documented divergence from the reference,
+// which runs *linear* interpolation on the segmentation too,
+// lib/transforms.py:42-55, blending label ids).
+void da_resample_nearest(const float* src, int32_t sx, int32_t sy,
+                         int32_t sz, float* dst, int32_t dx, int32_t dy,
+                         int32_t dz) {
+    const double rx = static_cast<double>(sx) / dx;
+    const double ry = static_cast<double>(sy) / dy;
+    const double rz = static_cast<double>(sz) / dz;
+    for (int z = 0; z < dz; ++z) {
+        int zi = static_cast<int>(std::floor((z + 0.5) * rz));
+        if (zi < 0) zi = 0; if (zi >= sz) zi = sz - 1;
+        for (int y = 0; y < dy; ++y) {
+            int yi = static_cast<int>(std::floor((y + 0.5) * ry));
+            if (yi < 0) yi = 0; if (yi >= sy) yi = sy - 1;
+            const float* srow = src + (static_cast<int64_t>(zi) * sy + yi) * sx;
+            float* row = dst + (static_cast<int64_t>(z) * dy + y) * dx;
+            for (int x = 0; x < dx; ++x) {
+                int xi = static_cast<int>(std::floor((x + 0.5) * rx));
+                if (xi < 0) xi = 0; if (xi >= sx) xi = sx - 1;
+                row[x] = srow[xi];
+            }
+        }
+    }
+}
+
+// 3-D bilateral filter (sitk.Bilateral capability, lib/transforms.py:308-320):
+// gaussian spatial window (domain_sigma, voxel units; radius 2.5 sigma) x
+// gaussian range weight on intensity difference (range_sigma), the range
+// gaussian evaluated through a sampled lookup table like ITK's
+// numberOfRangeGaussianSamples.
+void da_bilateral(const float* src, float* dst, int32_t sx, int32_t sy,
+                  int32_t sz, float domain_sigma, float range_sigma,
+                  int32_t n_range_samples) {
+    int r = static_cast<int>(std::ceil(2.5 * domain_sigma));
+    if (r < 1) r = 1;
+    const int w = 2 * r + 1;
+    std::vector<float> spatial(static_cast<size_t>(w) * w * w);
+    const double inv_d = 1.0 / (2.0 * domain_sigma * domain_sigma);
+    for (int dz = -r; dz <= r; ++dz)
+        for (int dy = -r; dy <= r; ++dy)
+            for (int dx = -r; dx <= r; ++dx)
+                spatial[((dz + r) * w + (dy + r)) * w + (dx + r)] =
+                    static_cast<float>(
+                        std::exp(-(dz * dz + dy * dy + dx * dx) * inv_d));
+    // range LUT over [0, 4 sigma]
+    int ns = n_range_samples > 4 ? n_range_samples : 50;
+    std::vector<float> lut(static_cast<size_t>(ns) + 1);
+    const double max_diff = 4.0 * range_sigma;
+    const double inv_r = 1.0 / (2.0 * range_sigma * range_sigma);
+    for (int i = 0; i <= ns; ++i) {
+        double d = max_diff * i / ns;
+        lut[static_cast<size_t>(i)] =
+            static_cast<float>(std::exp(-d * d * inv_r));
+    }
+    const double lut_scale = ns / max_diff;
+    for (int z = 0; z < sz; ++z) {
+        for (int y = 0; y < sy; ++y) {
+            for (int x = 0; x < sx; ++x) {
+                const float c =
+                    src[(static_cast<int64_t>(z) * sy + y) * sx + x];
+                double num = 0.0, den = 0.0;
+                for (int dz = -r; dz <= r; ++dz) {
+                    int zz = z + dz;
+                    if (zz < 0 || zz >= sz) continue;
+                    for (int dy = -r; dy <= r; ++dy) {
+                        int yy = y + dy;
+                        if (yy < 0 || yy >= sy) continue;
+                        const float* srow =
+                            src + (static_cast<int64_t>(zz) * sy + yy) * sx;
+                        const float* sw =
+                            &spatial[((dz + r) * w + (dy + r)) * w];
+                        for (int dx = -r; dx <= r; ++dx) {
+                            int xx = x + dx;
+                            if (xx < 0 || xx >= sx) continue;
+                            float v = srow[xx];
+                            double diff = std::fabs(
+                                static_cast<double>(v) - c);
+                            int li = diff >= max_diff
+                                ? ns
+                                : static_cast<int>(diff * lut_scale);
+                            double wgt = static_cast<double>(sw[dx + r]) *
+                                lut[static_cast<size_t>(li)];
+                            num += wgt * v;
+                            den += wgt;
+                        }
+                    }
+                }
+                dst[(static_cast<int64_t>(z) * sy + y) * sx + x] =
+                    den > 0 ? static_cast<float>(num / den) : c;
+            }
+        }
+    }
+}
+
 }  // extern "C"

@@ -1,10 +1,13 @@
 """One-time PyTorch-CPU baseline measurement for BENCH comparisons.
 
-Measures the reference-equivalent joint DeepAtlas iteration (one registration
-update: VoxelMorph fwd + LNCC + bending energy + backward + Adam; one
-segmentation update: UNet_light fwd + multiclass dice + backward + Adam) in
-PyTorch on CPU, at the MindBoggle101 cropped volume size the reference trains
-on (train_seg.py:51 crop of 182x218x182 -> 168x200x168, batch 1, 32 classes).
+Measures the reference-equivalent joint DeepAtlas iteration WITH the anatomy
+losses (the alternating MICCAI'19 scheme): one registration update
+(VoxelMorph fwd + LNCC + bending energy + anatomy dice through the warped
+one-hot segmentation + backward + Adam) and one segmentation update
+(UNet_light fwd on both volumes + supervised dice + anatomy consistency
+through the frozen warp + backward + Adam), in PyTorch on CPU with all
+cores, at the MindBoggle101 cropped volume size the reference trains on
+(train_seg.py:51 crop of 182x218x182 -> 168x200x168, batch 1, 32 classes).
 
 The torch networks are built from the same channel plans our Flax modules use
 (models/__init__.py UNET_LIGHT_* constants; voxel_morph.py:42-46 filters) —
@@ -122,7 +125,7 @@ class VoxelMorphTorch(nn.Module):
         grid = disp.permute(0, 2, 3, 4, 1) + ident
         warped = F.grid_sample(source, grid, mode="bilinear",
                                padding_mode="zeros", align_corners=True)
-        return disp, warped
+        return disp, warped, grid
 
 
 def lncc_loss(a, b, win=9):
@@ -152,33 +155,61 @@ def dice_loss(logits, labels, n_class):
     return 1 - (2 * inter / (denom + 1e-7)).mean()
 
 
+def soft_dice(src_probs, tgt_probs):
+    """Soft-soft dice over foreground channels (reg_steps.py semantics)."""
+    inter = (src_probs[:, 1:] * tgt_probs[:, 1:]).sum(dim=(2, 3, 4))
+    denom = src_probs[:, 1:].sum(dim=(2, 3, 4)) + \
+        tgt_probs[:, 1:].sum(dim=(2, 3, 4))
+    return 1 - (2 * inter / (denom + 1e-5)).mean()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, nargs=3, default=[168, 200, 168])
-    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--n-classes", type=int, default=32)
     args = ap.parse_args()
 
+    torch.set_num_threads(os.cpu_count())
     torch.manual_seed(230)
     D, H, W = args.size
     nc = args.n_classes
     moving = torch.rand(1, 1, D, H, W)
     fixed = torch.rand(1, 1, D, H, W)
-    labels = torch.randint(0, nc, (1, D, H, W))
+    labels_m = torch.randint(0, nc, (1, D, H, W))
+    labels_f = torch.randint(0, nc, (1, D, H, W))
 
     seg = UNetLightTorch(1, nc)
     reg = VoxelMorphTorch()
     opt_s = torch.optim.Adam(seg.parameters(), lr=1e-3)
     opt_r = torch.optim.Adam(reg.parameters(), lr=1e-3)
 
+    def onehot(lab):
+        return F.one_hot(lab, nc).permute(0, 4, 1, 2, 3).float()
+
     def joint_iter():
+        # --- reg phase: similarity + smoothness + anatomy dice
         opt_r.zero_grad()
-        disp, warped = reg(moving, fixed)
-        (lncc_loss(warped, fixed) + bending_energy(disp)).backward()
+        disp, warped, grid = reg(moving, fixed)
+        warped_oh = F.grid_sample(onehot(labels_m), grid, mode="bilinear",
+                                  padding_mode="zeros", align_corners=True)
+        anat_r = soft_dice(warped_oh, onehot(labels_f))
+        (lncc_loss(warped, fixed) + bending_energy(disp) + anat_r).backward()
         opt_r.step()
+        # --- seg phase: supervised dice on both volumes + anatomy
+        # consistency through the frozen warp (two-branch form,
+        # reg_steps.py:make_joint_seg_step semantics)
         opt_s.zero_grad()
-        logits = seg(moving)
-        dice_loss(logits, labels, nc).backward()
+        logits_m = seg(moving)
+        logits_f = seg(fixed)
+        probs_m = torch.softmax(logits_m, dim=1)
+        probs_f = torch.softmax(logits_f, dim=1)
+        warped_m = F.grid_sample(probs_m, grid.detach(), mode="bilinear",
+                                 padding_mode="zeros", align_corners=True)
+        anat_s = soft_dice(warped_m, probs_f)
+        sup = 0.5 * (dice_loss(logits_m, labels_m, nc)
+                     + dice_loss(logits_f, labels_f, nc))
+        (anat_s + sup).backward()
         opt_s.step()
 
     joint_iter()  # warmup

@@ -29,7 +29,8 @@ def build_config(args) -> dict:
 
         model="voxel_morph_cvpr",
         model_settings={"use_pallas_warp": not args.no_pallas_warp,
-                        "max_disp": args.max_disp},
+                        "max_disp": args.max_disp, "dtype": "bfloat16",
+                        "packed": not args.no_packed},
         n_classes=n_classes,
 
         crop_size=[0, 10, 7, 14, 8, 7],
@@ -90,6 +91,8 @@ def main():
                         help="cap on validation pairs per epoch (the pair "
                              "space is N*(N-1))")
     parser.add_argument("--test_only", "-t", action="store_true")
+    parser.add_argument("--no-packed", action="store_true",
+                        help="disable the packed Pallas conv path")
     parser.add_argument("--data-root", "-root", default="./data", type=str)
     parser.add_argument("--log-root", "-log", default="./logs", type=str)
     args = parser.parse_args()
