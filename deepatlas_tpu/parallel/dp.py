@@ -341,10 +341,12 @@ def make_dp_reg_train_step(sim_loss: Callable, reg_loss: Callable,
             sim = sim_loss(warped.astype(jnp.float32),
                            fixed.astype(jnp.float32))
             reg = reg_loss(disp.astype(jnp.float32))
-            return sim + reg_weight * reg
+            return sim + reg_weight * reg, (sim, reg)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        return (lax.pmean(loss, axis_name), lax.pmean(grads, axis_name))
+        (loss, (sim, reg)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        metrics = {"loss": loss, "sim": sim, "reg": reg}
+        return (lax.pmean(metrics, axis_name), lax.pmean(grads, axis_name))
 
     sharded_grads = shard_map(
         grads_fn, mesh=mesh,
@@ -354,8 +356,8 @@ def make_dp_reg_train_step(sim_loss: Callable, reg_loss: Callable,
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, moving, fixed):
-        loss, grads = sharded_grads(state, moving, fixed)
+        metrics, grads = sharded_grads(state, moving, fixed)
         state = state.apply_gradients(grads)
-        return state, loss
+        return state, metrics
 
     return train_step

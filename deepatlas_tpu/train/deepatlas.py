@@ -176,19 +176,42 @@ class DeepAtlasExperiment(BaseExperiment):
         # packed seg models don't need per-block remat of the seg apply
         packed_seg = self.config.get("seg_model_settings", {}).get("packed",
                                                                    False)
-        self.reg_step = make_joint_reg_step(
-            self.sim_loss, self.reg_loss,
-            self.config.get("reg_weight", 1.0),
-            self.config.get("anatomy_weight", 1.0), n_class,
-            warp_fn=warp_fn, anatomy_dtype=anatomy_dtype,
-            max_disp=max_disp,
-            fused_anatomy=self.config.get("fused_anatomy", use_pallas))
-        self.seg_step = make_joint_seg_step(
-            self.sup_loss, self.config.get("anatomy_weight", 1.0),
-            self.config.get("supervised_weight", 1.0), n_class,
-            warp_fn=seg_warp_fn, anatomy_dtype=anatomy_dtype,
-            checkpoint_apply=self.config.get("checkpoint_seg_apply",
-                                             not packed_seg))
+        self.mesh = None
+        if self.config.get("data_parallel") and jax.device_count() > 1:
+            # BASELINE.json config 5: batch sharded over the mesh's data
+            # axis, per-shard two-pass grads pmean'd over ICI
+            from ..parallel import make_dp_joint_steps, make_mesh, replicate
+            if self.config["batch_size"] % jax.device_count():
+                raise ValueError(
+                    f"data_parallel needs batch_size divisible by "
+                    f"{jax.device_count()} devices, got "
+                    f"{self.config['batch_size']}")
+            self.mesh = make_mesh()
+            self.reg_step, self.seg_step = make_dp_joint_steps(
+                self.sim_loss, self.reg_loss, self.sup_loss,
+                self.config.get("reg_weight", 1.0),
+                self.config.get("anatomy_weight", 1.0),
+                self.config.get("supervised_weight", 1.0), n_class,
+                mesh=self.mesh, warp_fn=warp_fn, seg_warp_fn=seg_warp_fn,
+                anatomy_dtype=anatomy_dtype, max_disp=max_disp,
+                fused_anatomy=self.config.get("fused_anatomy", use_pallas),
+                two_pass=True)
+            self.seg_state = replicate(self.seg_state, self.mesh)
+            self.reg_state = replicate(self.reg_state, self.mesh)
+        else:
+            self.reg_step = make_joint_reg_step(
+                self.sim_loss, self.reg_loss,
+                self.config.get("reg_weight", 1.0),
+                self.config.get("anatomy_weight", 1.0), n_class,
+                warp_fn=warp_fn, anatomy_dtype=anatomy_dtype,
+                max_disp=max_disp,
+                fused_anatomy=self.config.get("fused_anatomy", use_pallas))
+            self.seg_step = make_joint_seg_step(
+                self.sup_loss, self.config.get("anatomy_weight", 1.0),
+                self.config.get("supervised_weight", 1.0), n_class,
+                warp_fn=seg_warp_fn, anatomy_dtype=anatomy_dtype,
+                checkpoint_apply=self.config.get("checkpoint_seg_apply",
+                                                 not packed_seg))
         self.seg_eval_step = make_seg_eval_step(n_class)
         self.reg_eval_step = make_reg_eval_step(n_class)
         from ..data.augment import make_augmenter
@@ -264,6 +287,9 @@ class DeepAtlasExperiment(BaseExperiment):
             args = (img_m, img_f, seg_m, seg_f,
                     self._has_label_flags(batch_m),
                     self._has_label_flags(batch_f))
+            if self.mesh is not None:
+                from ..parallel import shard_batch
+                args = shard_batch(args, self.mesh)
             # alternate phases (seg on even iterations, reg on odd)
             if i % 2 == 0:
                 self.seg_state, metrics = self.seg_step(self.seg_state,

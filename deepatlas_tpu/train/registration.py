@@ -122,12 +122,27 @@ class RegistrationExperiment(BaseExperiment):
             apply_fn=self.model.apply, params=variables["params"],
             batch_stats=variables.get("batch_stats", {}), tx=self.tx)
         ms = self.config.get("model_settings", {})
-        self.train_step = make_reg_train_step(
-            self.sim_loss, self.reg_loss,
-            self.config.get("reg_weight", 1.0),
-            # surface the Pallas warp's saturation as a step metric
-            max_disp=(ms.get("max_disp", 8)
-                      if ms.get("use_pallas_warp") else None))
+        self.mesh = None
+        if self.config.get("data_parallel") and jax.device_count() > 1:
+            from ..parallel import (make_dp_reg_train_step, make_mesh,
+                                    replicate)
+            if self.config["batch_size"] % jax.device_count():
+                raise ValueError(
+                    f"data_parallel needs batch_size divisible by "
+                    f"{jax.device_count()} devices, got "
+                    f"{self.config['batch_size']}")
+            self.mesh = make_mesh()
+            self.state = replicate(self.state, self.mesh)
+            self.train_step = make_dp_reg_train_step(
+                self.sim_loss, self.reg_loss,
+                self.config.get("reg_weight", 1.0), self.mesh)
+        else:
+            self.train_step = make_reg_train_step(
+                self.sim_loss, self.reg_loss,
+                self.config.get("reg_weight", 1.0),
+                # surface the Pallas warp's saturation as a step metric
+                max_disp=(ms.get("max_disp", 8)
+                          if ms.get("use_pallas_warp") else None))
         self.eval_step = make_reg_eval_step(self.config["n_classes"])
 
     def _maybe_resume(self):
@@ -176,6 +191,9 @@ class RegistrationExperiment(BaseExperiment):
             batch_m, batch_f = next(self._train_iter)
             moving = jnp.asarray(batch_m["image"])
             fixed = jnp.asarray(batch_f["image"])
+            if self.mesh is not None:
+                from ..parallel import shard_batch
+                moving, fixed = shard_batch((moving, fixed), self.mesh)
             self.state, metrics = self.train_step(self.state, moving, fixed)
             self.global_step = ((self.current_epoch - 1) * iters + i + 1) \
                 * self.config["batch_size"]

@@ -143,8 +143,8 @@ class TestDPReg:
         step = make_dp_reg_train_step(sim, reg, 0.5, mesh)
         dp_state = replicate(state, mesh)
         batch = shard_batch({"m": moving, "f": fixed}, mesh)
-        new_state, loss = step(dp_state, batch["m"], batch["f"])
-        assert np.isfinite(float(loss))
+        new_state, metrics = step(dp_state, batch["m"], batch["f"])
+        assert np.isfinite(float(metrics["loss"]))
         # params actually changed
         a = jax.tree_util.tree_leaves(state.params)[0]
         b = jax.tree_util.tree_leaves(new_state.params)[0]
@@ -177,3 +177,44 @@ class TestDPExperiment:
         exp = SegmentationExperiment(config)
         with pytest.raises(ValueError, match="divisible"):
             exp.train()
+
+
+class TestDPJointExperiment:
+    def test_deepatlas_experiment_data_parallel(self, tmp_path):
+        """train_deepatlas --data-parallel end-to-end on the virtual
+        8-device mesh (round-1 VERDICT next-step 4)."""
+        from tests.test_train import make_mindboggle_corpus
+        from deepatlas_tpu.train import DeepAtlasExperiment
+
+        root = tmp_path / "mb"
+        make_mindboggle_corpus(root, n=8, shape=(8, 8, 8), n_classes=4)
+        config = dict(
+            debug_mode=True, resume_dir="", random_seed=230,
+            data="MindBoggle", n_epochs=1, samples_per_epoch=8,
+            batch_size=8, print_batch_period=1, valid_epoch_period=1,
+            save_ckpts_epoch_period=1,
+            seg_model="UNet_light",
+            seg_model_settings={"in_channel": 1, "n_classes": 4,
+                                "bias": True, "BN": True},
+            reg_model="voxel_morph_cvpr",
+            reg_model_settings={"enc_filters": (2, 4, 4, 4, 4),
+                                "dec_filters": (4, 4, 4, 2, 2)},
+            use_pallas_warp=False,
+            n_classes=4, n_labeled=2,
+            sim_loss="lncc", sim_loss_settings={"filter_size": 5},
+            reg_loss="bendingEnergy", reg_loss_settings={},
+            seg_loss="dice",
+            seg_loss_settings={"n_class": 4, "weight_type": "Uniform",
+                               "softmax": True},
+            reg_weight=1.0, anatomy_weight=1.0, supervised_weight=1.0,
+            max_validation_pairs=2, learning_rate=1e-3, lr_mode="const",
+            data_parallel=True, image_summary=False,
+            data_dir=str(root), valid_data_dir=str(root),
+            training_list_file=str(root / "train.txt"),
+            validation_list_file=str(root / "valid.txt"),
+            log_dir=str(tmp_path / "logs"),
+        )
+        exp = DeepAtlasExperiment(config)
+        exp.train()
+        assert exp.mesh is not None
+        assert np.isfinite(exp.seg_best_score)

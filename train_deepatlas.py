@@ -23,7 +23,7 @@ def build_config(args) -> dict:
         data="MindBoggle",
         n_epochs=args.num_epochs,
         samples_per_epoch=args.num_samples * 2,
-        batch_size=1,
+        batch_size=args.batch_size,
         print_batch_period=50,
         valid_epoch_period=1,
         save_ckpts_epoch_period=1,
@@ -43,6 +43,7 @@ def build_config(args) -> dict:
         fused_anatomy=not args.no_packed,
         n_classes=n_classes,
         n_labeled=args.n_labeled,
+        data_parallel=args.data_parallel,
 
         crop_size=[0, 10, 7, 14, 8, 7],
 
@@ -103,6 +104,11 @@ def main():
     parser.add_argument("--anatomy-weight", default=3.0, type=float)
     parser.add_argument("--supervised-weight", default=1.0, type=float)
     parser.add_argument("--max-validation-pairs", default=20, type=int)
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the batch over all visible devices "
+                             "(gradients pmean over ICI); batch-size must "
+                             "divide by the device count")
+    parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--no-packed", action="store_true",
                         help="disable the packed Pallas conv path (use XLA "
                              "convolutions; needs far more HBM at full size)")

@@ -22,7 +22,7 @@ def build_config(args) -> dict:
         data="MindBoggle",
         n_epochs=args.num_epochs,
         samples_per_epoch=args.num_samples * 2,
-        batch_size=1,
+        batch_size=args.batch_size,
         print_batch_period=50,
         valid_epoch_period=1,
         save_ckpts_epoch_period=1,
@@ -32,6 +32,7 @@ def build_config(args) -> dict:
                         "max_disp": args.max_disp, "dtype": "bfloat16",
                         "packed": not args.no_packed},
         n_classes=n_classes,
+        data_parallel=args.data_parallel,
 
         crop_size=[0, 10, 7, 14, 8, 7],
 
@@ -91,6 +92,9 @@ def main():
                         help="cap on validation pairs per epoch (the pair "
                              "space is N*(N-1))")
     parser.add_argument("--test_only", "-t", action="store_true")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the batch over all visible devices")
+    parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--no-packed", action="store_true",
                         help="disable the packed Pallas conv path")
     parser.add_argument("--data-root", "-root", default="./data", type=str)
