@@ -28,6 +28,12 @@ from .warp import LANE, _ceil_to, _pad_last, _range_from, _tent
 
 def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, dvol_ref,
                   gz_s, gy_s, gx_s, ct_s, sem, *, d, h, w, wp, tz, r):
+    # when the lane padding is at least the displacement bound, x-shifted
+    # contributions whose target falls outside [0, w) land in (and wrap
+    # into) the pad columns, which the caller slices away — the per-(dy,dx)
+    # x-validity mask disappears from the inner loop (receivers *in* the
+    # pad are pre-zeroed once per plane instead)
+    x_pad_lands = (wp - w) >= (r + 1)
     s_out = tz + 2 * (r + 1)      # output planes that can reach this tile
     zi = pl.program_id(0)
     ci = pl.program_id(1)
@@ -83,6 +89,8 @@ def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, dvol_ref,
             # slab-global bound; per-plane mass is usually concentrated)
             def k_work(acc):
                 f0 = ct_s[k].astype(jnp.float32) * wz
+                if x_pad_lands:
+                    f0 = jnp.where(cols2 <= w - 1, f0, 0.0)
                 tyk = gy_s[k] - rows2.astype(jnp.float32)
                 txk = gx_s[k] - cols2.astype(jnp.float32)
                 dy_lo, dy_hi = _range_from(jnp.min(-tyk) - 1.0,
@@ -102,6 +110,8 @@ def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, dvol_ref,
                         def dx_body(dx, acc_x):
                             t = fy * _tent(txk + dx.astype(jnp.float32))
                             g = pltpu.roll(t, jnp.mod(-dx, wp), 1)
+                            if x_pad_lands:
+                                return acc_x + g
                             cols_sh = cols2 + dx
                             x_ok = (cols_sh >= 0) & (cols_sh <= w - 1)
                             return acc_x + jnp.where(x_ok, g, 0.0)
