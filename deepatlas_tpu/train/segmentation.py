@@ -362,6 +362,13 @@ class SegmentationExperiment(BaseExperiment):
 
         ckpoint_file = os.path.join(
             self.ckpoint_dir, "model_best" if best else "checkpoint")
+        if best and not os.path.isdir(ckpoint_file):
+            # no validation ever beat the initial best score (e.g. very
+            # short runs) — fall back to the periodic checkpoint instead of
+            # crashing (the reference crashes on the missing .pth.tar)
+            print("=> no best checkpoint yet; testing the latest periodic "
+                  "checkpoint instead")
+            ckpoint_file = os.path.join(self.ckpoint_dir, "checkpoint")
         template = {"epoch": 0, "best_score": 0.0,
                     "params": self.state.params,
                     "batch_stats": self.state.batch_stats,
