@@ -35,11 +35,11 @@ def build_config(args) -> dict:
                             "bias": True, "BN": True,
                             "dtype": "bfloat16", "packed": not args.no_packed},
         reg_model="voxel_morph_cvpr",
-        reg_model_settings={"use_pallas_warp": True, "max_disp": 8,
+        reg_model_settings={"use_pallas_warp": True, "max_disp": args.max_disp,
                             "dtype": "bfloat16",
                             "packed": not args.no_packed},
         use_pallas_warp=True,
-        max_disp=8,
+        max_disp=args.max_disp,
         fused_anatomy=not args.no_packed,
         n_classes=n_classes,
         n_labeled=args.n_labeled,
@@ -104,6 +104,14 @@ def main():
     parser.add_argument("--anatomy-weight", default=3.0, type=float)
     parser.add_argument("--supervised-weight", default=1.0, type=float)
     parser.add_argument("--max-validation-pairs", default=20, type=int)
+    parser.add_argument("--max-disp", type=int, default=8,
+                        help="displacement bound (voxels) of the Pallas "
+                             "spatial transformer; fields beyond it CLAMP "
+                             "(saturate) and the reg step reports the "
+                             "clipped fraction as disp_overflow. Raise for "
+                             "large deformations (costs kernel time), or "
+                             "use --no-packed + XLA warps for unbounded "
+                             "fields")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard the batch over all visible devices "
                              "(gradients pmean over ICI); batch-size must "
