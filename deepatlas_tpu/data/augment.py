@@ -2,8 +2,10 @@
 
 TPU-native replacements for the reference's ITK-filter augmentations:
   * ``random_bspline_warp``   — RandomBSplineTransform (transforms.py:161-200):
-    random control-point displacements upsampled to a dense field by
-    trilinear interpolation, applied with our spatial transformer.
+    random control-point displacements evaluated through the cardinal
+    B-spline basis (orders 1-3; the reference's ITK BSplineTransform,
+    default order 2) as separable basis matmuls, applied with our
+    spatial transformer.
   * ``random_rigid_warp``     — RandomRigidTransform (transforms.py:202-260):
     random Euler rotations about the volume center + random translation,
     realized as an affine sampling grid.
@@ -23,30 +25,77 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import (grid_sample, identity_grid, identity_grid_batch,
-                   normalize_displacement, trilinear_resize)
-from ..ops.window import _as3
+from ..ops import grid_sample, identity_grid, normalize_displacement
 
 
-@partial(jax.jit, static_argnames=("vol_shape", "mesh_size", "freeze_axes"))
+def _bspline_basis(t: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Cardinal (uniform) B-spline basis of degree ``order`` (support
+    width order+1): B_1 the tent, B_2 the C^1 quadratic, B_3 the C^2
+    cubic ITK's BSplineTransform uses by default."""
+    at = jnp.abs(t)
+    if order == 1:
+        return jnp.maximum(0.0, 1.0 - at)
+    if order == 2:
+        return jnp.where(at <= 0.5, 0.75 - at ** 2,
+                         jnp.where(at <= 1.5, 0.5 * (at - 1.5) ** 2, 0.0))
+    if order == 3:
+        return jnp.where(
+            at <= 1.0, 2.0 / 3.0 - at ** 2 + at ** 3 / 2.0,
+            jnp.where(at <= 2.0, (2.0 - at) ** 3 / 6.0, 0.0))
+    raise ValueError(f"bspline order must be 1, 2 or 3, got {order}")
+
+
+def _bspline_axis_weights(size: int, cells: int, order: int) -> jnp.ndarray:
+    """(size, cells+order) dense-evaluation matrix of the B-spline basis.
+
+    ITK layout (BSplineTransformInitializer semantics, reference
+    transforms.py:182): ``cells`` mesh cells spanning the volume extent,
+    ``cells + order`` control points at cell coordinates
+    ``j - (order-1)/2`` — every voxel sits in the full support of exactly
+    ``order+1`` basis functions (partition of unity everywhere)."""
+    u = jnp.arange(size, dtype=jnp.float32) / max(size - 1, 1) * cells
+    pos = jnp.arange(cells + order, dtype=jnp.float32) - (order - 1) / 2.0
+    return _bspline_basis(u[:, None] - pos[None, :], order)
+
+
+@partial(jax.jit, static_argnames=("vol_shape", "mesh_size", "freeze_axes",
+                                   "order", "random_mode"))
 def random_bspline_field(key, vol_shape: Tuple[int, int, int],
                          mesh_size: Tuple[int, int, int] = (3, 3, 3),
                          deform_scale: float = 1.0,
                          freeze_axes: Tuple[int, ...] = (),
+                         order: int = 2,
+                         random_mode: str = "Normal",
                          ) -> jnp.ndarray:
-    """Dense normalized displacement field from a random control grid.
+    """Dense normalized displacement field from a random B-spline control
+    grid — the ITK ``BSplineTransform`` deformation model (reference
+    transforms.py:161-200) evaluated as three tiny separable basis matmuls.
 
-    Control displacements ~ N(0, (deform_scale/2)^2) voxels on a
-    ``mesh_size`` grid, trilinearly upsampled (a B-spline-order-1 surrogate
-    for ITK's cubic B-spline — same capability: smooth random warps).
+    ``mesh_size`` counts mesh CELLS per axis (ITK semantics): the control
+    grid has ``mesh + order`` points per axis.  ``order`` is the spline
+    degree — 2 (C^1 quadratic) matches the reference's default
+    ``bspline_order=2`` (transforms.py:167); 3 gives ITK's C^2 cubic; 1
+    degrades to the trilinear surrogate (creases at cell boundaries).
+    Control displacements are ``N(0, (deform_scale/2)^2)`` voxels
+    (``random_mode='Normal'``, transforms.py:185-186) or
+    ``U[0, deform_scale)`` (``'Uniform'``, transforms.py:187-188).
 
     Returns ``(D, H, W, 3)`` normalized displacement, last axis (x, y, z).
     """
-    ctrl = jax.random.normal(key, (1,) + tuple(mesh_size) + (3,)) \
-        * (deform_scale / 2.0)
+    cpts = tuple(m + order for m in mesh_size)
+    if random_mode == "Normal":
+        ctrl = jax.random.normal(key, cpts + (3,)) * (deform_scale / 2.0)
+    elif random_mode == "Uniform":
+        ctrl = jax.random.uniform(key, cpts + (3,)) * deform_scale
+    else:
+        raise ValueError(f"random_mode must be 'Normal' or 'Uniform', got "
+                         f"{random_mode!r}")
     for axis in freeze_axes:
         ctrl = ctrl.at[..., axis].set(0.0)
-    dense = trilinear_resize(ctrl, vol_shape, align_corners=True)[0]
+    wz, wy, wx = (_bspline_axis_weights(s, m, order)
+                  for s, m in zip(vol_shape, mesh_size))
+    dense = jnp.einsum("zi,yj,xk,ijkc->zyxc", wz, wy, wx, ctrl,
+                       precision="highest")
     return normalize_displacement(dense)
 
 
@@ -66,7 +115,9 @@ def random_bspline_warp(key, image: jnp.ndarray,
                         mesh_size: Tuple[int, int, int] = (3, 3, 3),
                         deform_scale: float = 1.0,
                         ratio: float = 0.5,
-                        freeze_axes: Tuple[int, ...] = ()):
+                        freeze_axes: Tuple[int, ...] = (),
+                        order: int = 2,
+                        random_mode: str = "Normal"):
     """Randomly B-spline-warp ``image`` (trilinear) and ``seg`` (nearest)
     with probability ``ratio``.
 
@@ -75,7 +126,8 @@ def random_bspline_warp(key, image: jnp.ndarray,
     """
     k_apply, k_field = jax.random.split(key)
     disp = random_bspline_field(k_field, image.shape[:3], mesh_size,
-                                deform_scale, freeze_axes)
+                                deform_scale, freeze_axes, order,
+                                random_mode)
     apply = jax.random.uniform(k_apply) < ratio
     disp = jnp.where(apply, disp, jnp.zeros_like(disp))
     deform = disp + identity_grid(image.shape[:3], dtype=disp.dtype)
@@ -184,7 +236,10 @@ def make_augmenter(config: dict):
                 mesh_size=tuple(bspline.get("mesh_size", (3, 3, 3))),
                 deform_scale=bspline.get("deform_scale", 1.0),
                 ratio=bspline.get("ratio", 0.5),
-                freeze_axes=tuple(bspline.get("freeze_axes", ())))
+                freeze_axes=tuple(bspline.get("freeze_axes", ())),
+                order=bspline.get("order",
+                                  bspline.get("bspline_order", 2)),
+                random_mode=bspline.get("random_mode", "Normal"))
         if rigid:
             image, seg = random_rigid_warp(
                 k2, image, seg,
@@ -200,16 +255,17 @@ def make_augmenter(config: dict):
         del k4
         return image, seg
 
+    # one jitted vmap over per-element fold_in keys — a single device
+    # program per batch instead of B sequential calls (which would
+    # serialize all augmentations on one device before DP sharding)
+    aug_img_seg = jax.jit(jax.vmap(augment_one))
+    aug_img = jax.jit(jax.vmap(lambda k, img: augment_one(k, img, None)[0]))
+
     def augment(key, images, segs=None):
-        out_imgs, out_segs = [], []
-        for b in range(images.shape[0]):
-            kb = jax.random.fold_in(key, b)
-            seg_b = None if segs is None else segs[b]
-            img_b, seg_b = augment_one(kb, images[b], seg_b)
-            out_imgs.append(img_b)
-            out_segs.append(seg_b)
-        images = jnp.stack(out_imgs)
-        segs = None if segs is None else jnp.stack(out_segs)
-        return images, segs
+        b = images.shape[0]
+        keys = jax.vmap(partial(jax.random.fold_in, key))(jnp.arange(b))
+        if segs is None:
+            return aug_img(keys, images), None
+        return aug_img_seg(keys, images, segs)
 
     return augment

@@ -35,11 +35,19 @@ class VoxelMorphCVPR2018(nn.Module):
     # XLA's slow TPU gather; exact for |disp| <= max_disp voxels in z/y
     use_pallas_warp: bool = False
     max_disp: int = 8
+    # forbid the silent XLA fallback of the Pallas warp (dryruns/tests
+    # asserting the kernel path is actually engaged)
+    require_kernel: bool = False
     # packed execution of the full- and half-resolution convolutions on the
     # lane-packed Pallas kernels (pallas/conv3d.py) — XLA's channel-minor
     # layouts pad the C=3..16 full-resolution tensors of this net 16-43x
     packed: bool = False
     interpret: Any = None
+    # constant multiplier on the predicted displacement field (1.0 = the
+    # reference semantics).  Lets benchmarks/calibration emulate the trained
+    # regime (fields of a few voxels, voxel_morph.py:88) from an untrained
+    # net, and matches the integer-scaling knob common to VoxelMorph forks.
+    flow_scale: float = 1.0
 
     @nn.compact
     def __call__(self, source: jnp.ndarray, target: jnp.ndarray,
@@ -57,6 +65,8 @@ class VoxelMorphCVPR2018(nn.Module):
             disp_field = self._packed_trunk(source, target, train)
         else:
             disp_field = self._xla_trunk(source, target, train)
+        if self.flow_scale != 1.0:
+            disp_field = disp_field * jnp.float32(self.flow_scale)
 
         deform_field = disp_field + identity_grid_batch(
             source.shape, dtype=disp_field.dtype)
@@ -64,7 +74,8 @@ class VoxelMorphCVPR2018(nn.Module):
             from ..pallas import pallas_grid_sample
             warped_source = pallas_grid_sample(
                 source.astype(jnp.float32), deform_field,
-                max_disp=self.max_disp)
+                max_disp=self.max_disp,
+                require_kernel=self.require_kernel)
         else:
             warped_source = grid_sample(source, deform_field,
                                         mode="trilinear")

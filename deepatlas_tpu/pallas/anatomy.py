@@ -340,6 +340,7 @@ def binned_sum(values: jnp.ndarray, labels: jnp.ndarray, n_class: int,
 def hard_anatomy_dice(lab_m: jnp.ndarray, lab_f: jnp.ndarray,
                       deform: jnp.ndarray, n_class: int, *,
                       max_disp: int = 8, z_tile: int = 8, eps: float = 1e-5,
+                      require_kernel: bool = False,
                       interpret: bool | None = None) -> jnp.ndarray:
     """Exactly ``soft_dice_on_probs(grid_sample(one_hot(lab_m), deform),
     lab_f, n_class)`` for HARD moving labels, at C=1 kernel cost.
@@ -355,13 +356,24 @@ def hard_anatomy_dice(lab_m: jnp.ndarray, lab_f: jnp.ndarray,
         interpret = _default_interpret()
     b, d, h, w = lab_m.shape
     if d < z_tile + 2 * (max_disp + 1):
-        # tiny volumes: the dense XLA composition is cheap
-        from ..losses import soft_dice_on_probs
-        from ..ops import grid_sample, one_hot
-        warped = grid_sample(one_hot(lab_m.astype(jnp.int32), n_class,
-                                     dtype=jnp.float32), deform,
-                             mode="trilinear")
-        return soft_dice_on_probs(warped, lab_f.astype(jnp.int32), n_class)
+        # shrink the z-tile to fit shallow volumes (same as
+        # pallas_grid_sample); only depths with no room beside the tent
+        # margins fall back to the dense XLA composition
+        if d - 2 * (max_disp + 1) >= 1:
+            z_tile = d - 2 * (max_disp + 1)
+        else:
+            if require_kernel:
+                raise ValueError(
+                    f"hard_anatomy_dice kernel path requires depth "
+                    f"> {2 * (max_disp + 1)} at max_disp={max_disp}; got "
+                    f"d={d} (require_kernel=True forbids the fallback)")
+            from ..losses import soft_dice_on_probs
+            from ..ops import grid_sample, one_hot
+            warped = grid_sample(one_hot(lab_m.astype(jnp.int32), n_class,
+                                         dtype=jnp.float32), deform,
+                                 mode="trilinear")
+            return soft_dice_on_probs(warped, lab_f.astype(jnp.int32),
+                                      n_class)
     deform = clamp_displacement(deform, max_disp)
     inters, denms, denfs = [], [], []
     for bi in range(b):

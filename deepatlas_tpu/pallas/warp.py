@@ -449,6 +449,7 @@ def _default_interpret() -> bool:
 def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
                        max_disp: int = 8, z_tile: int = 8,
                        bound_mode: str = "clamp", grad: str = "full",
+                       require_kernel: bool = False,
                        interpret: bool | None = None) -> jnp.ndarray:
     """Pallas trilinear ``grid_sample`` for channel-last batches.
 
@@ -470,6 +471,9 @@ def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
         ONLY for callers that stop-gradient the grid (the joint seg phase
         warps C = n_class probability volumes through a frozen field; the
         grid kernels are C x the work of the value splat).
+      require_kernel: raise instead of silently taking the XLA fallback on
+        volumes too shallow for the slab pipeline (multi-chip dryruns and
+        tests use this to prove the kernel path is actually engaged).
       interpret: run in Pallas interpreter mode (CPU testing).
 
     Returns:
@@ -489,10 +493,20 @@ def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
     if bound_mode == "clamp":
         grid = clamp_displacement(grid, max_disp)
     if d < z_tile + 2 * (max_disp + 1):
-        # volume too shallow for the slab pipeline — the XLA composition is
-        # cheap at these sizes anyway
-        from ..ops.warp import grid_sample as xla_grid_sample
-        return xla_grid_sample(vol, grid, mode="trilinear")
+        # shrink the z-tile so the slab pipeline still fits shallow volumes
+        # (more tiles, same math); only volumes with no room for even one
+        # output plane beside the tent margins fall back to XLA
+        if d - 2 * (max_disp + 1) >= 1:
+            z_tile = d - 2 * (max_disp + 1)
+        else:
+            if require_kernel:
+                raise ValueError(
+                    f"pallas_grid_sample kernel path requires depth "
+                    f"> {2 * (max_disp + 1)} at max_disp={max_disp}; got "
+                    f"d={d} (require_kernel=True forbids the XLA fallback)")
+            # the XLA composition is cheap at these sizes anyway
+            from ..ops.warp import grid_sample as xla_grid_sample
+            return xla_grid_sample(vol, grid, mode="trilinear")
     op = _warp3d if grad == "full" else _warp3d_vals
     outs = []
     for bi in range(b):

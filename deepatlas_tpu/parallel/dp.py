@@ -138,7 +138,9 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
                         warp_fn: Callable | None = None,
                         seg_warp_fn: Callable | None = None,
                         anatomy_dtype=None, max_disp: int | None = None,
-                        fused_anatomy: bool = False, two_pass: bool = True):
+                        fused_anatomy: bool = False, two_pass: bool = True,
+                        hard_fused: bool = False,
+                        anatomy_kwargs: dict | None = None):
     """Data-parallel flavors of the joint DeepAtlas phase steps.
 
     Same semantics as train/reg_steps.py's ``make_joint_reg_step`` /
@@ -151,6 +153,13 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
 
     ``seg_warp_fn`` warps the C = n_class probability volumes of the seg
     phase (frozen field — pass the values-only-gradient Pallas variant).
+
+    ``hard_fused`` mirrors reg_steps.py's seg-phase fast path: shards whose
+    local batch is fully labeled on both sides take a per-shard ``lax.cond``
+    branch that skips the dense probability warp (zero anatomy gradient)
+    and computes the anatomy value on the C=1 matched-warp kernel.  The
+    branch contains no collectives, so shards may diverge freely; gradient
+    pmean happens after the cond.
 
     Returns ``(dp_reg_step, dp_seg_step)`` with signatures
     ``(phase_state, other_state, moving, fixed, moving_seg, fixed_seg,
@@ -165,6 +174,8 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
     warp_fn = warp_fn or _p(_gs, mode="trilinear")
     seg_warp_fn = seg_warp_fn or warp_fn
     adt = anatomy_dtype or jnp.float32
+    if hard_fused and max_disp is None:
+        raise ValueError("hard_fused requires max_disp")
 
     def reg_grads_fn(reg_state, seg_state, moving, fixed, moving_seg,
                      fixed_seg, m_has, f_has):
@@ -190,7 +201,8 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
             if fused_anatomy:
                 from ..pallas.anatomy import hard_anatomy_dice
                 anat = hard_anatomy_dice(lab_m, lab_f, deform, n_class,
-                                         max_disp=max_disp)
+                                         max_disp=max_disp,
+                                         **(anatomy_kwargs or {}))
             else:
                 warped_onehot = warp_fn(onehot_m, deform)
                 anat = soft_dice_on_probs(warped_onehot, lab_f, n_class)
@@ -236,53 +248,100 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
             return jnp.where(has_label[:, None, None, None, None], onehot,
                              probs)
 
-        f_logits_const, _ = _apply_model(seg_state, seg_state.params, fixed,
-                                         train=True)
-        f_probs_const = jax.lax.stop_gradient(
-            branch_probs(f_logits_const, f_has, onehot_f))
-
         if two_pass:
-            def loss_a(params):
-                logits_m, new_bn = _apply_model(seg_state, params, moving,
-                                                train=True)
-                m_probs = branch_probs(logits_m, m_has, onehot_m)
-                warped_m = seg_warp_fn(m_probs, deform)
-                anat = _soft_dice(warped_m, f_probs_const)
-                sup_m = sup_loss(logits_m.astype(jnp.float32),
-                                 moving_seg.astype(jnp.int32))
-                loss = anatomy_weight * anat \
-                    + supervised_weight * sup_m * wm
-                return loss, (new_bn, anat, sup_m, warped_m)
+            def soft_branch(_):
+                # constant fixed-branch probabilities for pass A (train=True
+                # batch statistics, mutations discarded)
+                f_logits_const, _ = _apply_model(seg_state, seg_state.params,
+                                                 fixed, train=True)
+                f_probs_const = jax.lax.stop_gradient(
+                    branch_probs(f_logits_const, f_has, onehot_f))
 
-            (_, (new_bn, anat, sup_m, warped_m)), grads_a = \
-                jax.value_and_grad(loss_a, has_aux=True)(seg_state.params)
-            grads_a = lax.pmean(grads_a, axis_name)
-            grads_a, warped_const = jax.lax.optimization_barrier(
-                (grads_a, jax.lax.stop_gradient(warped_m)))
+                def loss_a(params):
+                    logits_m, new_bn = _apply_model(seg_state, params,
+                                                    moving, train=True)
+                    m_probs = branch_probs(logits_m, m_has, onehot_m)
+                    warped_m = seg_warp_fn(m_probs, deform)
+                    anat = _soft_dice(warped_m, f_probs_const)
+                    sup_m = sup_loss(logits_m.astype(jnp.float32),
+                                     moving_seg.astype(jnp.int32))
+                    loss = anatomy_weight * anat \
+                        + supervised_weight * sup_m * wm
+                    return loss, (new_bn, anat, sup_m, warped_m)
 
-            def loss_b(params):
-                logits_f, new_bn2 = _apply_model(
-                    seg_state.replace(batch_stats=new_bn), params, fixed,
-                    train=True)
-                f_probs = branch_probs(logits_f, f_has, onehot_f)
-                anat_b = _soft_dice(warped_const, f_probs)
-                sup_f = sup_loss(logits_f.astype(jnp.float32),
-                                 fixed_seg.astype(jnp.int32))
-                loss = anatomy_weight * anat_b \
-                    + supervised_weight * sup_f * wf
-                return loss, (new_bn2, sup_f)
+                (_, (new_bn, anat, sup_m, warped_m)), grads_a = \
+                    jax.value_and_grad(loss_a, has_aux=True)(
+                        seg_state.params)
+                # the barrier sequences pass B after pass A so only one
+                # U-Net backward graph is live per shard at a time
+                grads_a, warped_const = jax.lax.optimization_barrier(
+                    (grads_a, jax.lax.stop_gradient(warped_m)))
 
-            (_, (new_bn2, sup_f)), grads_b = jax.value_and_grad(
-                loss_b, has_aux=True)(seg_state.params)
-            grads = jax.tree_util.tree_map(
-                jnp.add, grads_a, lax.pmean(grads_b, axis_name))
+                def loss_b(params):
+                    logits_f, new_bn2 = _apply_model(
+                        seg_state.replace(batch_stats=new_bn), params,
+                        fixed, train=True)
+                    f_probs = branch_probs(logits_f, f_has, onehot_f)
+                    anat_b = _soft_dice(warped_const, f_probs)
+                    sup_f = sup_loss(logits_f.astype(jnp.float32),
+                                     fixed_seg.astype(jnp.int32))
+                    loss = anatomy_weight * anat_b \
+                        + supervised_weight * sup_f * wf
+                    return loss, (new_bn2, sup_f)
+
+                (_, (new_bn2, sup_f)), grads_b = jax.value_and_grad(
+                    loss_b, has_aux=True)(seg_state.params)
+                grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
+                return grads, new_bn2, anat, sup_m, sup_f
+
+            def hard_branch(_):
+                # fully-labeled local batch: zero anatomy gradient (see
+                # reg_steps.py hard_branch); C=1 matched-warp value,
+                # supervised-only backwards.  No collectives inside.
+                from ..pallas.anatomy import hard_anatomy_dice
+                anat = hard_anatomy_dice(
+                    moving_seg.astype(jnp.int32),
+                    fixed_seg.astype(jnp.int32), deform, n_class,
+                    max_disp=max_disp, **(anatomy_kwargs or {}))
+
+                def loss_a(params):
+                    logits_m, new_bn = _apply_model(seg_state, params,
+                                                    moving, train=True)
+                    sup_m = sup_loss(logits_m.astype(jnp.float32),
+                                     moving_seg.astype(jnp.int32))
+                    return supervised_weight * sup_m * wm, (new_bn, sup_m)
+
+                (_, (new_bn, sup_m)), grads_a = jax.value_and_grad(
+                    loss_a, has_aux=True)(seg_state.params)
+                grads_a = jax.lax.optimization_barrier(grads_a)
+
+                def loss_b(params):
+                    logits_f, new_bn2 = _apply_model(
+                        seg_state.replace(batch_stats=new_bn), params,
+                        fixed, train=True)
+                    sup_f = sup_loss(logits_f.astype(jnp.float32),
+                                     fixed_seg.astype(jnp.int32))
+                    return supervised_weight * sup_f * wf, (new_bn2, sup_f)
+
+                (_, (new_bn2, sup_f)), grads_b = jax.value_and_grad(
+                    loss_b, has_aux=True)(seg_state.params)
+                grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
+                return grads, new_bn2, anat, sup_m, sup_f
+
+            if hard_fused:
+                all_hard = jnp.all(m_has) & jnp.all(f_has)
+                grads, new_bn2, anat, sup_m, sup_f = lax.cond(
+                    all_hard, hard_branch, soft_branch, None)
+            else:
+                grads, new_bn2, anat, sup_m, sup_f = soft_branch(None)
+
             sup = lax.psum(sup_m * lm + sup_f * lf, axis_name) / n_lab
-            loss = anatomy_weight * anat + supervised_weight * sup
-            metrics = {"loss": loss, "anatomy": anat, "supervised": sup}
-            metrics = {"loss": lax.pmean(metrics["loss"], axis_name),
-                       "anatomy": lax.pmean(anat, axis_name),
+            anat_mean = lax.pmean(anat, axis_name)
+            loss = anatomy_weight * anat_mean + supervised_weight * sup
+            metrics = {"loss": loss, "anatomy": anat_mean,
                        "supervised": sup}
-            return grads, lax.pmean(new_bn2, axis_name), metrics
+            return (lax.pmean(grads, axis_name),
+                    lax.pmean(new_bn2, axis_name), metrics)
 
         def loss_fn(params):
             logits_m, new_bn = _apply_model(seg_state, params, moving,

@@ -65,3 +65,30 @@ class BaseExperiment:
     def close(self):
         if self.writer is not None:
             self.writer.close()
+
+
+class test_logger:
+    """Context manager yielding a logger that writes ``test_log.txt`` plus
+    stderr (the reference's test logging, models/segmentation.py:262-274) —
+    with explicit handlers, because ``logging.basicConfig`` silently no-ops
+    once any earlier experiment configured the root logger in-process."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __enter__(self):
+        import logging
+        self.logger = logging.getLogger(f"deepatlas_test_{id(self)}")
+        self.logger.setLevel(logging.DEBUG)
+        self.logger.propagate = False
+        self.fh = logging.FileHandler(self.path)
+        self.sh = logging.StreamHandler()
+        self.logger.addHandler(self.fh)
+        self.logger.addHandler(self.sh)
+        return self.logger
+
+    def __exit__(self, *exc):
+        self.logger.removeHandler(self.fh)
+        self.logger.removeHandler(self.sh)
+        self.fh.close()
+        return False

@@ -30,7 +30,7 @@ from ..data import (Compose, CropVolume, DataLoader, VolumeToArray, endless,
 from ..losses import get_loss_function
 from ..models import get_network
 from .base import BaseExperiment
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import initialize_from, load_checkpoint, save_checkpoint
 from .reg_steps import (make_joint_reg_step, make_joint_seg_step,
                         make_reg_eval_step)
 from .schedules import make_scheduler
@@ -153,6 +153,18 @@ class DeepAtlasExperiment(BaseExperiment):
             apply_fn=self.reg_model.apply, params=reg_vars["params"],
             batch_stats=reg_vars.get("batch_stats", {}), tx=self.reg_tx)
 
+        self._build_steps()
+        from ..data.augment import make_augmenter
+        self.augmenter = make_augmenter(self.config.get("augmentation"))
+        from .guard import make_guard
+        self.overflow_guard = make_guard(self.config) \
+            if self.config.get("use_pallas_warp", True) else None
+
+    def _build_steps(self):
+        """(Re)build the jitted phase steps from the current config — also
+        the re-jit entry point of the disp-overflow guard (train/guard.py):
+        escalation updates config['max_disp'] / use_pallas_warp, rebuilds
+        the reg model, and calls this again."""
         n_class = self.config["n_classes"]
         if self.config.get("use_pallas_warp", True):
             # the anatomy warps move C = n_class one-hot volumes; XLA's TPU
@@ -195,7 +207,8 @@ class DeepAtlasExperiment(BaseExperiment):
                 mesh=self.mesh, warp_fn=warp_fn, seg_warp_fn=seg_warp_fn,
                 anatomy_dtype=anatomy_dtype, max_disp=max_disp,
                 fused_anatomy=self.config.get("fused_anatomy", use_pallas),
-                two_pass=True)
+                two_pass=True,
+                hard_fused=self.config.get("hard_fused", use_pallas))
             self.seg_state = replicate(self.seg_state, self.mesh)
             self.reg_state = replicate(self.reg_state, self.mesh)
         else:
@@ -211,11 +224,48 @@ class DeepAtlasExperiment(BaseExperiment):
                 self.config.get("supervised_weight", 1.0), n_class,
                 warp_fn=seg_warp_fn, anatomy_dtype=anatomy_dtype,
                 checkpoint_apply=self.config.get("checkpoint_seg_apply",
-                                                 not packed_seg))
+                                                 not packed_seg),
+                hard_fused=self.config.get("hard_fused", use_pallas),
+                max_disp=max_disp)
         self.seg_eval_step = make_seg_eval_step(n_class)
         self.reg_eval_step = make_reg_eval_step(n_class)
-        from ..data.augment import make_augmenter
-        self.augmenter = make_augmenter(self.config.get("augmentation"))
+
+    def _apply_guard_action(self, action: dict):
+        """Perform a DispOverflowGuard action: warn, escalate max_disp, or
+        switch to the unbounded XLA warp — the latter two re-jit."""
+        md = self.config.get("max_disp", 8)
+        if action["action"] == "warn":
+            print("=> WARNING: disp_overflow above threshold for {} "
+                  "consecutive steps at max_disp={} — displacement fields "
+                  "are saturating the Pallas warp clamp. Raise --max-disp "
+                  "or set overflow_guard={{'mode': 'escalate'}}."
+                  .format(self.overflow_guard.patience, md))
+            return
+        if action["action"] == "escalate":
+            new_md = action["max_disp"]
+            print("=> disp_overflow persistent: escalating max_disp "
+                  "{} -> {} and re-jitting the phase steps".format(
+                      md, new_md))
+            self.config["max_disp"] = new_md
+            rs = dict(self.config.get("reg_model_settings", {}))
+            if "max_disp" in rs or rs.get("use_pallas_warp"):
+                rs["max_disp"] = new_md
+                self.config["reg_model_settings"] = rs
+        else:  # "xla"
+            print("=> disp_overflow persistent: switching to the unbounded "
+                  "XLA warp path and re-jitting")
+            self.config["use_pallas_warp"] = False
+            rs = dict(self.config.get("reg_model_settings", {}))
+            rs["use_pallas_warp"] = False
+            self.config["reg_model_settings"] = rs
+            self.config["fused_anatomy"] = False
+            self.config["hard_fused"] = False
+        self.setup_model()
+        self.seg_state = self.seg_state.replace(
+            apply_fn=self.seg_model.apply)
+        self.reg_state = self.reg_state.replace(
+            apply_fn=self.reg_model.apply)
+        self._build_steps()
 
     def _maybe_resume(self):
         resume_dir = self.config.get("resume_dir")
@@ -301,6 +351,13 @@ class DeepAtlasExperiment(BaseExperiment):
                                                         self.seg_state, *args)
                 for k in run_reg:
                     run_reg[k] += float(metrics[k])
+                if self.overflow_guard is not None \
+                        and "disp_overflow" in metrics:
+                    act = self.overflow_guard.update(
+                        float(metrics["disp_overflow"]),
+                        self.config.get("max_disp", 8))
+                    if act is not None:
+                        self._apply_guard_action(act)
             self.global_step = ((self.current_epoch - 1) * iters + i + 1) \
                 * self.config["batch_size"]
             if i % period == period - 1:
@@ -433,5 +490,121 @@ class DeepAtlasExperiment(BaseExperiment):
             np.asarray(seg_logits, np.float32))
         self.writer.add_image("validation_seg/summary", seg_img,
                               self.global_step)
+
+    # -------------------------------------------------------------- test
+    def test(self, best: bool = True, if_log: bool = True):
+        """Held-out evaluation of BOTH restored nets on ``testing_list_file``
+        (the reference lifecycle: train()/test(), models/base.py:30-68 with
+        the seg test path at models/segmentation.py:253-274; the joint
+        checkpoint carries both nets via the seg/reg best-score aliases of
+        models/base.py:96-101 precisely so they can be restored together).
+
+        Runs seg test dice (per class + avg), reg test dice and folding
+        fraction over the test pairs, and writes ``test_log.txt`` in the
+        seg/reg experiments' format.  Returns ``(seg_dice_per_class,
+        seg_dice_avg, reg_dice_per_class, reg_dice_avg, folding)``.
+        """
+        self.setup_random_seed()
+        self.setup_model()
+        self.setup_loss()
+        self.setup_optimizer()
+
+        tf = self._transforms()
+        seg_cls = get_seg_dataset(self.config["data"])
+        reg_cls = get_reg_dataset(self.config["data"])
+        test_dir = self.config.get("test_data_dir", self.config["data_dir"])
+        self.validation_seg_loader = DataLoader(
+            seg_cls(self.config["testing_list_file"], test_dir,
+                    with_seg=True, preload=False, pre_transform=tf),
+            batch_size=1, shuffle=False, prefetch=2)
+        self.validation_reg_loader = DataLoader(
+            reg_cls(self.config["testing_list_file"], test_dir,
+                    with_seg=True, preload=False, pre_transform=tf),
+            batch_size=1, shuffle=False, prefetch=2)
+        self._init_state()
+
+        ckpoint_file = os.path.join(
+            self.ckpoint_dir, "model_best" if best else "checkpoint")
+        if best and not os.path.isdir(ckpoint_file):
+            # no validation ever beat the initial scores (e.g. very short
+            # runs) — fall back to the periodic checkpoint instead of
+            # crashing (the reference crashes on the missing .pth.tar)
+            print("=> no best checkpoint yet; testing the latest periodic "
+                  "checkpoint instead")
+            ckpoint_file = os.path.join(self.ckpoint_dir, "checkpoint")
+        template = {"epoch": 0, "seg_best_score": 0.0, "reg_best_score": 0.0,
+                    "seg_params": self.seg_state.params,
+                    "seg_batch_stats": self.seg_state.batch_stats,
+                    "seg_opt_state": self.seg_state.opt_state,
+                    "reg_params": self.reg_state.params,
+                    "reg_opt_state": self.reg_state.opt_state}
+        restored, last_epoch, _ = initialize_from(ckpoint_file, template)
+        self.seg_state = self.seg_state.replace(
+            params=restored["seg_params"],
+            batch_stats=restored["seg_batch_stats"])
+        self.reg_state = self.reg_state.replace(
+            params=restored["reg_params"])
+
+        n_fg = self.config["n_classes"] - 1
+
+        # seg test (on-device confusion dice, one volume at a time)
+        dice_sum = np.zeros((n_fg,), np.float64)
+        count = 0
+        for batch in self.validation_seg_loader:
+            dice, _ = self.seg_eval_step(
+                self.seg_state, jnp.asarray(batch["image"]),
+                jnp.asarray(batch["segmentation"].astype(np.int32)))
+            dice_sum += np.asarray(dice, np.float64).sum(axis=0)
+            count += dice.shape[0]
+        seg_per_class = dice_sum / max(count, 1)
+        seg_dice = float(seg_per_class.mean())
+
+        # reg test (warped-label dice + folding over ordered pairs)
+        dice_sum = np.zeros((n_fg,), np.float64)
+        folding_sum = 0.0
+        count = 0
+        for batch_m, batch_f in self.validation_reg_loader:
+            dice, folding, _ = self.reg_eval_step(
+                self.reg_state, jnp.asarray(batch_m["image"]),
+                jnp.asarray(batch_f["image"]),
+                jnp.asarray(batch_m["segmentation"].astype(np.int32)),
+                jnp.asarray(batch_f["segmentation"].astype(np.int32)))
+            dice_sum += np.asarray(dice, np.float64).sum(axis=0)
+            folding_sum += float(folding)
+            count += dice.shape[0]
+            if count >= self.config.get("max_test_pairs",
+                                        self.config.get(
+                                            "max_validation_pairs", 10 ** 9)):
+                break
+        reg_per_class = dice_sum / max(count, 1)
+        reg_dice = float(reg_per_class.mean())
+        folding = folding_sum / max(count, 1)
+
+        if if_log:
+            # explicit handlers (not basicConfig, which no-ops when the root
+            # logger was already configured by an earlier experiment's test)
+            from .base import test_logger
+            with test_logger(os.path.join(self.ckpoint_dir,
+                                          "test_log.txt")) as log:
+                log.info("\n" + "=" * 50 + "\n")
+                log.info("Testing Model: %s (%s epochs)\n", ckpoint_file,
+                         last_epoch)
+                log.info("Test data: %s\n", test_dir)
+                log.info("Test list: %s\n",
+                         self.config["testing_list_file"])
+                log.info("\n" + "-" * 50 + "\n")
+                log.info("Seg_Dice_avg: %s", seg_dice)
+                class_name = self.config.get("class_name", {})
+                for c in range(n_fg):
+                    log.info("Seg_Dice_%s:%.3f",
+                             class_name.get(c + 1, str(c + 1)),
+                             seg_per_class[c])
+                log.info("Reg_Dice_avg: %s folding: %s", reg_dice, folding)
+                for c in range(n_fg):
+                    log.info("Reg_Dice_%s:%.3f",
+                             class_name.get(c + 1, str(c + 1)),
+                             reg_per_class[c])
+                log.info("\n" + "-" * 50 + "\n")
+        return seg_per_class, seg_dice, reg_per_class, reg_dice, folding
 
 

@@ -87,7 +87,8 @@ def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
                         reg_weight: float, anatomy_weight: float,
                         n_class: int, warp_fn: Callable = grid_sample,
                         anatomy_dtype=None, max_disp: int | None = None,
-                        fused_anatomy: bool = False):
+                        fused_anatomy: bool = False,
+                        anatomy_kwargs: dict | None = None):
     """Reg-phase step of joint training: updates the reg net against
     similarity + smoothness + anatomy consistency, with the (frozen) seg net
     filling in missing labels.
@@ -135,7 +136,8 @@ def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
             if fused_anatomy:
                 from ..pallas.anatomy import hard_anatomy_dice
                 anat = hard_anatomy_dice(lab_m, lab_f, deform, n_class,
-                                         max_disp=max_disp)
+                                         max_disp=max_disp,
+                                         **(anatomy_kwargs or {}))
             else:
                 warped_onehot = warp_fn(onehot_m, deform)
                 anat = soft_dice_on_probs(warped_onehot, lab_f, n_class)
@@ -159,7 +161,10 @@ def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
                         warp_fn: Callable = grid_sample,
                         anatomy_dtype=None,
                         checkpoint_apply: bool = False,
-                        two_pass: bool = True):
+                        two_pass: bool = True,
+                        hard_fused: bool = False,
+                        max_disp: int | None = None,
+                        anatomy_kwargs: dict | None = None):
     """Seg-phase step of joint training: updates the seg net against the
     supervised loss (where labels exist) + anatomy consistency through the
     (frozen) reg net's warp.
@@ -172,9 +177,28 @@ def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
     once, which exceeds one chip's HBM at full MB101 size.
     ``checkpoint_apply`` additionally makes each forward full-recompute.
 
+    ``hard_fused`` adds a runtime fast path (``lax.cond``) for iterations
+    where EVERY batch element has ground-truth labels on BOTH sides: the
+    anatomy term then reads only constants (``branch_probs`` selects the
+    one-hot for both branches), so its gradient w.r.t. the seg params is
+    identically zero — the same structural zero the reference's autograd
+    would exploit (warping detached one-hots builds no graph back to the
+    seg net).  The branch computes the exact anatomy *value* on the C=1
+    matched-warp kernel (pallas/anatomy.py::hard_anatomy_dice) and takes
+    supervised-only gradients, skipping the dense C = n_class probability
+    warp + splat entirely (~92%% of the phase at MB101 size, BENCH_r02).
+    Requires ``max_disp`` and is only exact when ``warp_fn`` clamps
+    displacements the same way (the Pallas warp's ``bound_mode='clamp'``).
+    The fully-labeled joint recipe (all MB101-21 volumes labeled) runs this
+    branch every iteration.
+
     Signature: (seg_state, reg_state, moving, fixed, moving_seg, fixed_seg,
     moving_has_label, fixed_has_label) -> (seg_state, metrics)
     """
+    if hard_fused and max_disp is None:
+        raise ValueError("hard_fused requires max_disp (the fused anatomy "
+                         "value runs on the displacement-bounded Pallas "
+                         "kernels)")
     if checkpoint_apply:
         def apply_model(state, params, images, train):
             f = jax.checkpoint(
@@ -213,51 +237,99 @@ def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
             return jnp.where(has_label[:, None, None, None, None], onehot,
                              probs)
 
-        # ---- pass A: moving branch (fixed probabilities are constants).
-        # train=True so BatchNorm normalizes with batch statistics exactly
-        # like the differentiated pass-B forward (mutations discarded).
-        f_logits_const, _ = _apply_model(seg_state, seg_state.params, fixed,
-                                         train=True)
-        f_probs_const = jax.lax.stop_gradient(
-            branch_probs(f_logits_const, fixed_has_label, onehot_f))
+        def soft_branch(_):
+            # ---- pass A: moving branch (fixed probabilities constants).
+            # train=True so BatchNorm normalizes with batch statistics
+            # exactly like the differentiated pass-B forward (mutations
+            # discarded).
+            f_logits_const, _ = _apply_model(seg_state, seg_state.params,
+                                             fixed, train=True)
+            f_probs_const = jax.lax.stop_gradient(
+                branch_probs(f_logits_const, fixed_has_label, onehot_f))
 
-        def loss_a(params):
-            logits_m, new_bn = apply_model(seg_state, params, moving,
-                                           train=True)
-            m_probs = branch_probs(logits_m, moving_has_label, onehot_m)
-            warped_m = warp_fn(m_probs, deform)
-            anat = _soft_dice(warped_m, f_probs_const)
-            sup_m = supervised_loss(logits_m.astype(jnp.float32),
-                                    moving_seg.astype(jnp.int32))
-            loss = anatomy_weight * anat \
-                + supervised_weight * sup_m * any_m / sup_norm
-            return loss, (new_bn, anat, sup_m, warped_m)
+            def loss_a(params):
+                logits_m, new_bn = apply_model(seg_state, params, moving,
+                                               train=True)
+                m_probs = branch_probs(logits_m, moving_has_label, onehot_m)
+                warped_m = warp_fn(m_probs, deform)
+                anat = _soft_dice(warped_m, f_probs_const)
+                sup_m = supervised_loss(logits_m.astype(jnp.float32),
+                                        moving_seg.astype(jnp.int32))
+                loss = anatomy_weight * anat \
+                    + supervised_weight * sup_m * any_m / sup_norm
+                return loss, (new_bn, anat, sup_m, warped_m)
 
-        (_, (new_bn, anat, sup_m, warped_m)), grads_a = jax.value_and_grad(
-            loss_a, has_aux=True)(seg_state.params)
+            (_, (new_bn, anat, sup_m, warped_m)), grads_a = \
+                jax.value_and_grad(loss_a, has_aux=True)(seg_state.params)
 
-        # ---- pass B: fixed branch (warped moving anatomy is constant);
-        # the barrier sequences it after pass A so only one backward graph
-        # is live at a time
-        grads_a, warped_const = jax.lax.optimization_barrier(
-            (grads_a, jax.lax.stop_gradient(warped_m)))
+            # ---- pass B: fixed branch (warped moving anatomy constant);
+            # the barrier sequences it after pass A so only one backward
+            # graph is live at a time
+            grads_a, warped_const = jax.lax.optimization_barrier(
+                (grads_a, jax.lax.stop_gradient(warped_m)))
 
-        def loss_b(params):
-            logits_f, new_bn2 = apply_model(
-                seg_state.replace(batch_stats=new_bn), params, fixed,
-                train=True)
-            f_probs = branch_probs(logits_f, fixed_has_label, onehot_f)
-            anat_b = _soft_dice(warped_const, f_probs)
-            sup_f = supervised_loss(logits_f.astype(jnp.float32),
-                                    fixed_seg.astype(jnp.int32))
-            loss = anatomy_weight * anat_b \
-                + supervised_weight * sup_f * any_f / sup_norm
-            return loss, (new_bn2, sup_f)
+            def loss_b(params):
+                logits_f, new_bn2 = apply_model(
+                    seg_state.replace(batch_stats=new_bn), params, fixed,
+                    train=True)
+                f_probs = branch_probs(logits_f, fixed_has_label, onehot_f)
+                anat_b = _soft_dice(warped_const, f_probs)
+                sup_f = supervised_loss(logits_f.astype(jnp.float32),
+                                        fixed_seg.astype(jnp.int32))
+                loss = anatomy_weight * anat_b \
+                    + supervised_weight * sup_f * any_f / sup_norm
+                return loss, (new_bn2, sup_f)
 
-        (_, (new_bn2, sup_f)), grads_b = jax.value_and_grad(
-            loss_b, has_aux=True)(seg_state.params)
+            (_, (new_bn2, sup_f)), grads_b = jax.value_and_grad(
+                loss_b, has_aux=True)(seg_state.params)
 
-        grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
+            grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
+            return grads, new_bn2, anat, sup_m, sup_f
+
+        def hard_branch(_):
+            # Both anatomies are ground-truth one-hots: zero anatomy
+            # gradient w.r.t. the seg params.  Exact anatomy value on the
+            # C=1 matched-warp kernel; supervised-only backwards (same BN
+            # sequencing moving-then-fixed as the soft branch).
+            from ..pallas.anatomy import hard_anatomy_dice
+            anat = hard_anatomy_dice(
+                moving_seg.astype(jnp.int32), fixed_seg.astype(jnp.int32),
+                deform, n_class, max_disp=max_disp,
+                **(anatomy_kwargs or {}))
+
+            def loss_a(params):
+                logits_m, new_bn = apply_model(seg_state, params, moving,
+                                               train=True)
+                sup_m = supervised_loss(logits_m.astype(jnp.float32),
+                                        moving_seg.astype(jnp.int32))
+                return supervised_weight * sup_m * any_m / sup_norm, \
+                    (new_bn, sup_m)
+
+            (_, (new_bn, sup_m)), grads_a = jax.value_and_grad(
+                loss_a, has_aux=True)(seg_state.params)
+            grads_a = jax.lax.optimization_barrier(grads_a)
+
+            def loss_b(params):
+                logits_f, new_bn2 = apply_model(
+                    seg_state.replace(batch_stats=new_bn), params, fixed,
+                    train=True)
+                sup_f = supervised_loss(logits_f.astype(jnp.float32),
+                                        fixed_seg.astype(jnp.int32))
+                return supervised_weight * sup_f * any_f / sup_norm, \
+                    (new_bn2, sup_f)
+
+            (_, (new_bn2, sup_f)), grads_b = jax.value_and_grad(
+                loss_b, has_aux=True)(seg_state.params)
+            grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
+            return grads, new_bn2, anat, sup_m, sup_f
+
+        if hard_fused:
+            all_hard = jnp.all(moving_has_label) & jnp.all(fixed_has_label)
+            grads, new_bn2, anat, sup_m, sup_f = jax.lax.cond(
+                all_hard, hard_branch, soft_branch, None)
+        else:
+            grads, new_bn2, anat, sup_m, sup_f = soft_branch(None)
+
         sup = (sup_m * any_m + sup_f * any_f) / sup_norm
         loss = anatomy_weight * anat + supervised_weight * sup
         seg_state = seg_state.apply_gradients(grads, new_bn2)

@@ -341,11 +341,10 @@ class RegistrationExperiment(BaseExperiment):
             self.validation_data_loader,
             max_pairs=self.config.get("max_validation_pairs"))
         if if_log:
-            logging.basicConfig(
-                filename=os.path.join(self.ckpoint_dir, "test_log.txt"),
-                level=logging.DEBUG)
-            logging.getLogger().addHandler(logging.StreamHandler())
-            logging.info("Testing Model: %s (%s epochs)", ckpoint_file,
+            from .base import test_logger
+            with test_logger(os.path.join(self.ckpoint_dir,
+                                          "test_log.txt")) as log:
+                log.info("Testing Model: %s (%s epochs)", ckpoint_file,
                          last_epoch)
-            logging.info("Dice_avg: %s folding: %s", dice_avg, folding)
+                log.info("Dice_avg: %s folding: %s", dice_avg, folding)
         return dice_per_class, dice_avg, folding

@@ -108,7 +108,9 @@ class SegmentationExperiment(BaseExperiment):
             n_samples=self.config["num_samples"] * 2)
         self.training_data_loader = DataLoader(
             training_data, batch_size=self.config["batch_size"], shuffle=True,
-            seed=self.config["random_seed"], prefetch=2)
+            seed=self.config["random_seed"],
+            prefetch=self.config.get("prefetch", 2),
+            num_workers=self.config.get("num_workers", 2))
         validation_data = dataset_cls(
             self.config["validation_list_file"],
             self.config.get("valid_data_dir", self.config["data_dir"]),
@@ -379,21 +381,21 @@ class SegmentationExperiment(BaseExperiment):
 
         dice_per_class, dice_avg, _ = self.eval(self.testing_data_loader)
         if if_log:
-            logging.basicConfig(
-                filename=os.path.join(self.ckpoint_dir, "test_log.txt"),
-                level=logging.DEBUG)
-            logging.getLogger().addHandler(logging.StreamHandler())
-            logging.info("\n" + "=" * 50 + "\n")
-            logging.info("Testing Model: %s (%s epochs)\n", ckpoint_file,
+            from .base import test_logger
+            with test_logger(os.path.join(self.ckpoint_dir,
+                                          "test_log.txt")) as log:
+                log.info("\n" + "=" * 50 + "\n")
+                log.info("Testing Model: %s (%s epochs)\n", ckpoint_file,
                          last_epoch)
-            logging.info("Test data: %s\n", self.config["data_dir"])
-            logging.info("Test list: %s\n", self.config["testing_list_file"])
-            logging.info("\n" + "-" * 50 + "\n")
-            logging.info("Dice_avg: %s", dice_avg)
-            class_name = self.config.get("class_name", {})
-            for c in range(self.config["n_classes"] - 1):
-                logging.info("Dice_%s:%.3f",
+                log.info("Test data: %s\n", self.config["data_dir"])
+                log.info("Test list: %s\n",
+                         self.config["testing_list_file"])
+                log.info("\n" + "-" * 50 + "\n")
+                log.info("Dice_avg: %s", dice_avg)
+                class_name = self.config.get("class_name", {})
+                for c in range(self.config["n_classes"] - 1):
+                    log.info("Dice_%s:%.3f",
                              class_name.get(c + 1, str(c + 1)),
                              dice_per_class[c])
-            logging.info("\n" + "-" * 50 + "\n")
+                log.info("\n" + "-" * 50 + "\n")
         return dice_per_class, dice_avg

@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--no-packed", action="store_true",
                     help="run the seg U-Net on XLA convs instead of the "
                          "packed Pallas kernels")
+    ap.add_argument("--no-hard-fused", action="store_true",
+                    help="disable the fully-labeled seg-phase fast path "
+                         "(force the dense C=n_class probability warp)")
+    ap.add_argument("--labels", choices=["both", "moving", "fixed", "none"],
+                    default="both",
+                    help="which sides carry ground-truth labels (the "
+                         "semi-supervised regimes exercise the soft paths)")
     args = ap.parse_args()
 
     from deepatlas_tpu.losses import get_loss_function
@@ -53,6 +60,9 @@ def main():
     mseg = jax.random.randint(ks[2], (1, d, h, w), 0, nc, jnp.int32)
     fseg = jax.random.randint(ks[3], (1, d, h, w), 0, nc, jnp.int32)
     has = jnp.ones((1,), bool)
+    no = jnp.zeros((1,), bool)
+    has_m = has if args.labels in ("both", "moving") else no
+    has_f = has if args.labels in ("both", "fixed") else no
 
     packed = not args.no_packed
     seg_model = UNetLight(in_channel=1, n_classes=nc, bias=True,
@@ -84,9 +94,10 @@ def main():
                              anatomy_dtype=jnp.bfloat16, max_disp=8,
                              fused_anatomy=packed)
     js = make_joint_seg_step(sup, 1.0, 1.0, nc, warp_fn=wfn_seg,
-                             anatomy_dtype=jnp.bfloat16, two_pass=True)
-    reg_args = (rs, ss, moving, fixed, mseg, fseg, has, has)
-    seg_args = (ss, rs, moving, fixed, mseg, fseg, has, has)
+                             anatomy_dtype=jnp.bfloat16, two_pass=True,
+                             hard_fused=not args.no_hard_fused, max_disp=8)
+    reg_args = (rs, ss, moving, fixed, mseg, fseg, has_m, has_f)
+    seg_args = (ss, rs, moving, fixed, mseg, fseg, has_m, has_f)
 
     if args.memory:
         for name, fn, fargs in (("reg", jr, reg_args), ("seg", js, seg_args)):
@@ -112,20 +123,20 @@ def main():
               flush=True)
         t0 = time.time()
         for _ in range(args.iters):
-            rs, m = jr(rs, ss, moving, fixed, mseg, fseg, has, has)
+            rs, m = jr(rs, ss, moving, fixed, mseg, fseg, has_m, has_f)
         np.asarray(m["loss"])
         print("joint reg step:",
               round((time.time() - t0) / args.iters * 1e3, 1), "ms",
               flush=True)
     if not args.reg_only:
         t0 = time.time()
-        ss, m2 = js(ss, rs, moving, fixed, mseg, fseg, has, has)
+        ss, m2 = js(ss, rs, moving, fixed, mseg, fseg, has_m, has_f)
         np.asarray(m2["loss"])
         print("joint seg step compile+run", round(time.time() - t0, 1), "s",
               flush=True)
         t0 = time.time()
         for _ in range(args.iters):
-            ss, m2 = js(ss, rs, moving, fixed, mseg, fseg, has, has)
+            ss, m2 = js(ss, rs, moving, fixed, mseg, fseg, has_m, has_f)
         np.asarray(m2["loss"])
         print("joint seg step:",
               round((time.time() - t0) / args.iters * 1e3, 1), "ms",

@@ -120,13 +120,19 @@ def main():
     parser.add_argument("--no-packed", action="store_true",
                         help="disable the packed Pallas conv path (use XLA "
                              "convolutions; needs far more HBM at full size)")
+    parser.add_argument("--test-only", "-test", action="store_true",
+                        help="skip training: restore the best (or latest) "
+                             "joint checkpoint and evaluate both nets on "
+                             "the held-out testing_list_file")
     parser.add_argument("--data-root", "-root", default="./data", type=str)
     parser.add_argument("--log-root", "-log", default="./logs", type=str)
     args = parser.parse_args()
 
     config = build_config(args)
     exp = DeepAtlasExperiment(config)
-    exp.train()
+    if not args.test_only:
+        exp.train()
+    exp.test()
 
 
 if __name__ == "__main__":
