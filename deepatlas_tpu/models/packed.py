@@ -357,3 +357,111 @@ def packed_nearest_up2(x: jnp.ndarray, spec: PackedSpec,
     out = jnp.stack(parts)
     return out, PackedSpec(c, 2 * spec.w, 2 * spec.w_stored, 2 * spec.h,
                            2 * spec.h_stored)
+
+
+def transfer_unet_params(std_vars: dict, model) -> dict:
+    """Map a standard ``UNetTemplate`` variable tree onto the packed
+    variant's tree (same plan, any ``packed_levels``) — packed and standard
+    variants store identical math under different module names/layouts, so
+    checkpoints trained on one execute on the other.
+
+    Args:
+      std_vars: ``{'params': ..., ['batch_stats': ...]}`` from the standard
+        (XLA-conv) model.
+      model: the packed ``UNetTemplate`` instance (``packed=True``) whose
+        plan/flags describe the target tree.
+
+    Returns the packed model's variable dict.  Module creation order is
+    deterministic in both paths (encoder chains top-down, then decoder
+    levels), which this mapping mirrors; parity is pinned in
+    tests/test_packed_unet.py.
+    """
+    import jax.numpy as jnp
+
+    encoders, decoders = model.encoders, model.decoders
+    levels = len(encoders)
+    nl = min(model.packed_levels, levels - 1)
+    bn = model.BN
+    p = std_vars["params"]
+    bs = std_vars.get("batch_stats", {})
+    out: dict = {}
+    bso: dict = {}
+    counters = {"pcb": 0, "cb": 0, "pdb": 0, "db": 0,
+                "std_cb": 0, "std_db": 0}
+
+    def emit_conv(packed: bool):
+        src_name = f"ConvBlock_{counters['std_cb']}"
+        counters["std_cb"] += 1
+        src = p[src_name]
+        if not packed:
+            name = f"ConvBlock_{counters['cb']}"
+            counters["cb"] += 1
+            out[name] = src
+            if bn and src_name in bs:
+                bso[name] = bs[src_name]
+            return
+        name = f"PackedConvBlock_{counters['pcb']}"
+        counters["pcb"] += 1
+        dst = {"kernel": src["Conv_0"]["kernel"]}
+        if "bias" in src["Conv_0"]:
+            dst["bias"] = src["Conv_0"]["bias"]
+        if bn and "BatchNorm_0" in src:
+            dst["PackedBatchNorm_0"] = {
+                "scale": src["BatchNorm_0"]["scale"],
+                "bias": src["BatchNorm_0"]["bias"]}
+            bso[name] = {"PackedBatchNorm_0": {
+                "mean": bs[src_name]["BatchNorm_0"]["mean"],
+                "var": bs[src_name]["BatchNorm_0"]["var"]}}
+        out[name] = dst
+
+    def emit_deconv(packed: bool):
+        src_name = f"DeconvBlock_{counters['std_db']}"
+        counters["std_db"] += 1
+        src = p[src_name]
+        if not packed:
+            name = f"DeconvBlock_{counters['db']}"
+            counters["db"] += 1
+            out[name] = src
+            if bn and src_name in bs:
+                bso[name] = bs[src_name]
+            return
+        name = f"PackedDeconvBlock_{counters['pdb']}"
+        counters["pdb"] += 1
+        # std DeconvBlock kernel is (2,2,2,O,I) (transpose_kernel); the
+        # packed deconv kernel is (2,2,2,I,O)
+        dst = {"kernel": jnp.transpose(src["ConvTranspose_0"]["kernel"],
+                                       (0, 1, 2, 4, 3))}
+        if "bias" in src["ConvTranspose_0"]:
+            dst["bias"] = src["ConvTranspose_0"]["bias"]
+        if bn and "BatchNorm_0" in src:
+            dst["PackedBatchNorm_0"] = {
+                "scale": src["BatchNorm_0"]["scale"],
+                "bias": src["BatchNorm_0"]["bias"]}
+            bso[name] = {"PackedBatchNorm_0": {
+                "mean": bs[src_name]["BatchNorm_0"]["mean"],
+                "var": bs[src_name]["BatchNorm_0"]["var"]}}
+        out[name] = dst
+
+    for i, plan in enumerate(encoders):
+        chain = plan if i == 0 else plan[1:]
+        for _ in chain:
+            emit_conv(packed=i < nl)
+    for j, dec_plan in enumerate(decoders):
+        out_level = levels - 2 - j
+        emit_deconv(packed=out_level < nl)
+        for _ in dec_plan[1:]:
+            emit_conv(packed=out_level < nl)
+    # final 1x1 conv (appended at the last decoder level)
+    fin_level = levels - 2 - (len(decoders) - 1)
+    fin = {"kernel": p["Conv_0"]["kernel"]}
+    if "bias" in p["Conv_0"]:
+        fin["bias"] = p["Conv_0"]["bias"]
+    if fin_level < nl:
+        out[f"PackedConvBlock_{counters['pcb']}"] = fin
+    else:
+        out["Conv_0"] = fin
+
+    vars_out = {"params": out}
+    if bn:
+        vars_out["batch_stats"] = bso
+    return vars_out

@@ -36,8 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.warp import clamp_displacement
 from .splat import pallas_splat
 from .warp import (LANE, _bwd_grid_single, _ceil_to, _default_interpret,
-                   _lane_gather, _pad_last, _range_from, _tent, _vox_coords,
-                   _ypad)
+                   _gather_pre, _pad_last, _prep_gather, _range_from, _tent,
+                   _vox_coords, _wp_for, _ypad)
 
 
 # ------------------------------------------------------------- kernels
@@ -67,12 +67,17 @@ def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, out_ref,
     s_lo, s_hi = _range_from(jnp.min(gz), jnp.max(gz), 0, s_planes - 1)
     dy_lo, dy_hi = _range_from(jnp.min(ty), jnp.max(ty), -(r + 1), r + 1)
 
+    # shared single gather plan (see warp.py _fwd_kernel): v1 at ix1, v0
+    # via the one-lane-rolled plane; index prep + masked blend weights
+    # hoisted out of the loops
     ix0 = jnp.floor(gx).astype(jnp.int32)
     fx = gx - ix0.astype(jnp.float32)
     x_ok0 = (ix0 >= 0) & (ix0 <= w - 1)
     x_ok1 = (ix0 + 1 >= 0) & (ix0 + 1 <= w - 1)
-    ix0c = jnp.clip(ix0, 0, wp - 1)
     ix1c = jnp.clip(ix0 + 1, 0, wp - 1)
+    prep = _prep_gather(ix1c, wp)
+    w0m = jnp.where(x_ok0, 1.0 - fx, 0.0)
+    w1m = jnp.where(x_ok1, fx, 0.0)
 
     cp.wait()
 
@@ -87,14 +92,12 @@ def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, out_ref,
 
             def y_work(acc):
                 k = jnp.mod(hp - (yp + dy), hp)
-                plane = jnp.broadcast_to(
-                    pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h],
-                    gz.shape)
-                v0 = _lane_gather(plane, ix0c)
-                v1 = _lane_gather(plane, ix1c)
-                eq0 = x_ok0 & (jnp.abs(v0 - lf) < 0.5)
-                eq1 = x_ok1 & (jnp.abs(v1 - lf) < 0.5)
-                xv = jnp.where(eq0, 1.0 - fx, 0.0) + jnp.where(eq1, fx, 0.0)
+                rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
+                v1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape), prep)
+                v0 = _gather_pre(jnp.broadcast_to(
+                    pltpu.roll(rolled, 1, 1), gz.shape), prep)
+                xv = jnp.where(jnp.abs(v0 - lf) < 0.5, w0m, 0.0) + \
+                    jnp.where(jnp.abs(v1 - lf) < 0.5, w1m, 0.0)
                 return acc + wzy * xv
 
             return jax.lax.cond(jnp.max(wzy) > 0.0, y_work, lambda a: a,
@@ -135,10 +138,11 @@ def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
 
     ix0 = jnp.floor(gx).astype(jnp.int32)
     fx = gx - ix0.astype(jnp.float32)
-    x_ok0 = (ix0 >= 0) & (ix0 <= w - 1)
-    x_ok1 = (ix0 + 1 >= 0) & (ix0 + 1 <= w - 1)
-    ix0c = jnp.clip(ix0, 0, wp - 1)
+    x_ok0f = jnp.where((ix0 >= 0) & (ix0 <= w - 1), 1.0, 0.0)
+    x_ok1f = jnp.where((ix0 + 1 >= 0) & (ix0 + 1 <= w - 1), 1.0, 0.0)
     ix1c = jnp.clip(ix0 + 1, 0, wp - 1)
+    prep = _prep_gather(ix1c, wp)
+    fx0 = 1.0 - fx
 
     cp.wait()
 
@@ -150,13 +154,13 @@ def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
         def y_body(dy, accs):
             az, ay, ax = accs
             k = jnp.mod(hp - (yp + dy), hp)
-            plane = jnp.broadcast_to(
-                pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h], gz.shape)
-            v0 = jnp.where(x_ok0 & (jnp.abs(_lane_gather(plane, ix0c) - lf)
-                                    < 0.5), 1.0, 0.0)
-            v1 = jnp.where(x_ok1 & (jnp.abs(_lane_gather(plane, ix1c) - lf)
-                                    < 0.5), 1.0, 0.0)
-            xv = (1.0 - fx) * v0 + fx * v1
+            rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
+            g1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape), prep)
+            g0 = _gather_pre(jnp.broadcast_to(
+                pltpu.roll(rolled, 1, 1), gz.shape), prep)
+            v0 = jnp.where(jnp.abs(g0 - lf) < 0.5, x_ok0f, 0.0)
+            v1 = jnp.where(jnp.abs(g1 - lf) < 0.5, x_ok1f, 0.0)
+            xv = fx0 * v0 + fx * v1
             dxv = v1 - v0
             ty_f = ty - dy.astype(jnp.float32)
             y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
@@ -183,7 +187,7 @@ _VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 def _matched_fwd_call(lab_m, lab_f, gz, gy, gx, *, tz, r, interpret):
     d, h, w = lab_m.shape
-    wp = _ceil_to(w, LANE)
+    wp = _wp_for(w, r)
     hb = _ceil_to(h, 8)
     n_tiles = -(-d // tz)
     dp = n_tiles * tz
@@ -216,7 +220,7 @@ def _matched_fwd_call(lab_m, lab_f, gz, gy, gx, *, tz, r, interpret):
 
 def _matched_bwd_call(lab_m, lab_f, gz, gy, gx, ct, *, tz, r, interpret):
     d, h, w = lab_m.shape
-    wp = _ceil_to(w, LANE)
+    wp = _wp_for(w, r)
     hb = _ceil_to(h, 8)
     n_tiles = -(-d // tz)
     dp = n_tiles * tz

@@ -27,7 +27,8 @@ from .warp import LANE, _ceil_to, _pad_last, _range_from, _tent
 
 
 def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, dvol_ref,
-                  gz_s, gy_s, gx_s, ct_s, sem, *, d, h, w, wp, tz, r):
+                  gz_s, gy_s, gx_s, ct_s, rtent_s, sem, *, d, h, w, wp, tz,
+                  r):
     # when the lane padding is at least the displacement bound, x-shifted
     # contributions whose target falls outside [0, w) land in (and wrap
     # into) the pad columns, which the caller slices away — the per-(dy,dx)
@@ -100,6 +101,26 @@ def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, dvol_ref,
                                            jnp.max(-txk) + 1.0, -(r + 1),
                                            r + 1)
 
+                # hoist the per-dx work that is invariant across dy: the
+                # x-tent, its -dx lane roll, and the target-column validity
+                # mask, staged once per receiver plane k into rtent_s
+                # (rolls commute with elementwise products, so
+                # roll(fy*tent, -dx) = roll(fy, -dx) * rtent[dx]) — the
+                # (dy, dx) inner loop becomes roll + multiply-add
+                def fill_dx(dx, _):
+                    t = _tent(txk + dx.astype(jnp.float32))
+                    g = pltpu.roll(t, jnp.mod(-dx, wp), 1)
+                    if not x_pad_lands:
+                        # lane j of the rolled plane reads receiver column
+                        # j + dx — mask the ones falling outside [0, w)
+                        cols_sh = cols2 + dx
+                        x_ok = (cols_sh >= 0) & (cols_sh <= w - 1)
+                        g = jnp.where(x_ok, g, 0.0)
+                    rtent_s[dx + r + 1] = g
+                    return 0
+
+                jax.lax.fori_loop(dx_lo, dx_hi + 1, fill_dx, 0)
+
                 def dy_body(dy, acc):
                     fy = f0 * _tent(tyk + dy.astype(jnp.float32))
 
@@ -108,13 +129,8 @@ def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, dvol_ref,
                         # row roll per dy (the row shift commutes with the
                         # lane work — saves dx_range-1 rolls per dy)
                         def dx_body(dx, acc_x):
-                            t = fy * _tent(txk + dx.astype(jnp.float32))
-                            g = pltpu.roll(t, jnp.mod(-dx, wp), 1)
-                            if x_pad_lands:
-                                return acc_x + g
-                            cols_sh = cols2 + dx
-                            x_ok = (cols_sh >= 0) & (cols_sh <= w - 1)
-                            return acc_x + jnp.where(x_ok, g, 0.0)
+                            g = pltpu.roll(fy, jnp.mod(-dx, wp), 1)
+                            return acc_x + g * rtent_s[dx + r + 1]
 
                         acc_x = jax.lax.fori_loop(
                             dx_lo, dx_hi + 1, dx_body,
@@ -168,6 +184,7 @@ def pallas_splat(ct: jnp.ndarray, gz, gy, gx, *, d: int, h: int, w: int,
         out_shape=jax.ShapeDtypeStruct((nc, dp, hb, wp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((s_out, hb, wp), jnp.float32)] * 3
         + [pltpu.VMEM((s_out, hb, wp), ct.dtype),
+           pltpu.VMEM((2 * r + 3, hb, wp), jnp.float32),
            pltpu.SemaphoreType.DMA((4,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -55,6 +55,19 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _wp_for(w: int, r: int) -> int:
+    """Lane-padded width with at least ``r + 2`` spare pad lanes.
+
+    Guarantees any in-support sample index ``ix0 + 1 <= w + r`` stays
+    strictly inside ``[0, wp)`` unclipped, so the kernels can gather BOTH
+    trilinear x-taps with one shared index plan (v1 at ``ix1``, v0 from the
+    one-lane-rolled plane at the same index)."""
+    wp = _ceil_to(w, LANE)
+    if wp - w <= r + 1:
+        wp += LANE
+    return wp
+
+
 def _lane_gather(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather along the last (lane) axis in 128-lane chunks.
 
@@ -90,6 +103,54 @@ def _lane_gather(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def _tent(t: jnp.ndarray) -> jnp.ndarray:
     """The trilinear hat: max(0, 1 - |t|)."""
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def _prep_gather(idx: jnp.ndarray, wp: int):
+    """Hoist the index arithmetic of ``_lane_gather`` out of hot loops.
+
+    The per-chunk local indices and hit masks depend only on ``idx``
+    (loop-invariant in the tent-accumulation loops, where the same output
+    coordinates gather from every shifted source plane); precomputing them
+    once per kernel instance leaves take_along_axis + where + add as the
+    only per-iteration gather work.  Returns an opaque plan for
+    ``_gather_pre``.
+    """
+    shape = idx.shape
+    idx2 = idx.reshape(-1, wp) if idx.ndim > 2 else idx
+    n = wp // LANE
+    if n == 1:
+        return (shape, n, [[(idx2, None)]])
+    plan = []
+    for oc in range(n):
+        idx_c = jax.lax.slice_in_dim(idx2, oc * LANE, (oc + 1) * LANE,
+                                     axis=-1)
+        row = []
+        for sc in range(n):
+            local = idx_c - sc * LANE
+            hit = (local >= 0) & (local < LANE)
+            row.append((jnp.clip(local, 0, LANE - 1), hit))
+        plan.append(row)
+    return (shape, n, plan)
+
+
+def _gather_pre(src: jnp.ndarray, prep) -> jnp.ndarray:
+    """``_lane_gather`` with a precomputed ``_prep_gather`` plan."""
+    shape, n, plan = prep
+    src2 = src.reshape(-1, src.shape[-1]) if src.ndim > 2 else src
+    out_chunks = []
+    for oc in range(n):
+        acc = None
+        for sc in range(n):
+            loc, hit = plan[oc][sc]
+            g = jnp.take_along_axis(
+                jax.lax.slice_in_dim(src2, sc * LANE, (sc + 1) * LANE,
+                                     axis=-1), loc, axis=-1)
+            if hit is not None:
+                g = jnp.where(hit, g, 0.0)
+            acc = g if acc is None else acc + g
+        out_chunks.append(acc)
+    out = out_chunks[0] if n == 1 else jnp.concatenate(out_chunks, axis=-1)
+    return out.reshape(shape)
 
 
 def _range_from(lo: jnp.ndarray, hi: jnp.ndarray, bound_lo: int,
@@ -135,13 +196,18 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
     s_lo, s_hi = _range_from(jnp.min(gz), jnp.max(gz), 0, s_planes - 1)
     dy_lo, dy_hi = _range_from(jnp.min(ty), jnp.max(ty), -(r + 1), r + 1)
 
-    # x interpolation support (exact): gather ix0 and its +1 neighbour
+    # x interpolation support (exact): both trilinear taps ride ONE gather
+    # plan — v1 at ix1 = clip(ix0+1), v0 from the one-lane-rolled plane at
+    # the same index (_wp_for guarantees ix0+1 never clips on the high
+    # side); index arithmetic + blend weights hoisted out of the loops
     ix0 = jnp.floor(gx).astype(jnp.int32)
     fx = gx - ix0.astype(jnp.float32)
     x_ok0 = (ix0 >= 0) & (ix0 <= w - 1)
     x_ok1 = (ix0 + 1 >= 0) & (ix0 + 1 <= w - 1)
-    ix0c = jnp.clip(ix0, 0, wp - 1)
     ix1c = jnp.clip(ix0 + 1, 0, wp - 1)
+    prep = _prep_gather(ix1c, wp)
+    w0 = jnp.where(x_ok0, 1.0 - fx, 0.0)
+    w1 = jnp.where(x_ok1, fx, 0.0)
 
     cp.wait()
 
@@ -163,14 +229,11 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
                 # weight.
                 k = jnp.mod(hp - (yp + dy), hp)
                 # tpu.dynamic_rotate is 32-bit only: cast the plane first
-                plane = jnp.broadcast_to(
-                    pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h],
-                    gz.shape)
-                v0 = _lane_gather(plane, ix0c)
-                v1 = _lane_gather(plane, ix1c)
-                xv = jnp.where(x_ok0, (1.0 - fx) * v0, 0.0) + \
-                    jnp.where(x_ok1, fx * v1, 0.0)
-                return acc + wzy * xv
+                rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
+                v1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape), prep)
+                v0 = _gather_pre(jnp.broadcast_to(
+                    pltpu.roll(rolled, 1, 1), gz.shape), prep)
+                return acc + wzy * (w0 * v0 + w1 * v1)
 
             # (s, dy) combos whose combined tent mass is zero cost one
             # reduction instead of the rolls + gathers
@@ -216,8 +279,11 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref,
     fx = gx - ix0.astype(jnp.float32)
     x_ok0 = (ix0 >= 0) & (ix0 <= w - 1)
     x_ok1 = (ix0 + 1 >= 0) & (ix0 + 1 <= w - 1)
-    ix0c = jnp.clip(ix0, 0, wp - 1)
+    # shared single gather plan (see _fwd_kernel): v1 at ix1, v0 via the
+    # one-lane-rolled plane; index prep hoisted out of the loops
     ix1c = jnp.clip(ix0 + 1, 0, wp - 1)
+    prep = _prep_gather(ix1c, wp)
+    fx0 = 1.0 - fx
 
     cp.wait()
 
@@ -230,11 +296,12 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref,
         def y_body(dy, accs):
             az, ay, ax = accs
             k = jnp.mod(hp - (yp + dy), hp)
-            plane = jnp.broadcast_to(
-                pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h], gz.shape)
-            v0 = jnp.where(x_ok0, _lane_gather(plane, ix0c), 0.0)
-            v1 = jnp.where(x_ok1, _lane_gather(plane, ix1c), 0.0)
-            xv = (1.0 - fx) * v0 + fx * v1
+            rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
+            v1 = jnp.where(x_ok1, _gather_pre(
+                jnp.broadcast_to(rolled, gz.shape), prep), 0.0)
+            v0 = jnp.where(x_ok0, _gather_pre(jnp.broadcast_to(
+                pltpu.roll(rolled, 1, 1), gz.shape), prep), 0.0)
+            xv = fx0 * v0 + fx * v1
             dxv = v1 - v0
             ty_f = ty - dy.astype(jnp.float32)
             y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
@@ -291,7 +358,7 @@ def _fwd_single(vol: jnp.ndarray, gz, gy, gx, *, tz: int, r: int,
     coordinate blocks — one compiled kernel for any C (the one-hot anatomy
     warps of joint training are C = n_classes)."""
     nc, d, h, w = vol.shape
-    wp = _ceil_to(w, LANE)
+    wp = _wp_for(w, r)
     hb = _ceil_to(h, 8)
     n_tiles = -(-d // tz)
     dp = n_tiles * tz
@@ -332,7 +399,7 @@ def _bwd_grid_single(vol, gz, gy, gx, ct, *, tz: int, r: int,
     """vol (C,D,H,W), ct (C,D,H,W) -> (dgz, dgy, dgx) each (D,H,W), summed
     over channels in-kernel."""
     nc, d, h, w = vol.shape
-    wp = _ceil_to(w, LANE)
+    wp = _wp_for(w, r)
     hb = _ceil_to(h, 8)
     n_tiles = -(-d // tz)
     dp = n_tiles * tz

@@ -139,3 +139,32 @@ def test_packed_unet_input_grads_match(rng):
         pk_model.apply(pk_vars, x, train=True) * ct))(x)
     np.testing.assert_allclose(np.asarray(g_pk), np.asarray(g_ref),
                                atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("pl_levels", [1, 2, 3])
+def test_transfer_utility_and_deeper_packing(rng, pl_levels):
+    """models/packed.py::transfer_unet_params maps the standard tree onto
+    ANY packed_levels variant (checkpoint portability between variants);
+    packed_levels=3 additionally packs the quarter-resolution C=64 level
+    (round-2 VERDICT next-step 5)."""
+    from deepatlas_tpu.models.packed import transfer_unet_params
+
+    x = jnp.asarray(rng.rand(*VOL).astype(np.float32))
+    std_model = UNetLight(in_channel=1, n_classes=NC, bias=True, BN=True)
+    pk_model = UNetLight(in_channel=1, n_classes=NC, bias=True, BN=True,
+                         packed=True, interpret=True,
+                         packed_levels=pl_levels)
+    std_vars = std_model.init(jax.random.PRNGKey(0), x, train=False)
+    pk_vars = transfer_unet_params(std_vars, pk_model)
+
+    # the mapped tree must match what the packed model would create
+    ref_tree = jax.tree_util.tree_structure(
+        pk_model.init(jax.random.PRNGKey(1), x, train=False)["params"])
+    assert jax.tree_util.tree_structure(pk_vars["params"]) == ref_tree
+    n_pcb = sum(1 for k in pk_vars["params"] if k.startswith("PackedConv"))
+    # per level: 2 enc convs + 2 dec convs; the final 1x1 is packed too
+    assert n_pcb == {1: 5, 2: 9, 3: 13}[pl_levels]
+
+    ref = std_model.apply(std_vars, x, train=False)
+    out = pk_model.apply(pk_vars, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
