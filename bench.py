@@ -69,8 +69,17 @@ def main():
     ks = jax.random.split(key, 6)
     moving = jax.random.uniform(ks[0], (1, d, h, w, 1), jnp.float32)
     fixed = jax.random.uniform(ks[1], (1, d, h, w, 1), jnp.float32)
-    mseg = jax.random.randint(ks[2], (1, d, h, w), 0, nc, jnp.int32)
-    fseg = jax.random.randint(ks[3], (1, d, h, w), 0, nc, jnp.int32)
+    # anatomy-like labels: z-dependent shells with local noise, a handful of
+    # classes per z-slab — the spatial structure real MB101 segmentations
+    # have (each label occupies a contiguous region, datasets.py corpora),
+    # which the kernels' per-slab class-presence skip sees.  Uniform-random
+    # labels (every class everywhere) are measurable via
+    # tools/bench_warp.py without --onehot.
+    zi_ = jnp.arange(d)[None, :, None, None]
+    mseg = ((jax.random.randint(ks[2], (1, d, h, w), 0, 4)
+             + 4 * (zi_ // 24)) % nc).astype(jnp.int32)
+    fseg = ((jax.random.randint(ks[3], (1, d, h, w), 0, 4)
+             + 4 * ((zi_ + 8) // 24)) % nc).astype(jnp.int32)
     has = jnp.ones((1,), bool)
     no = jnp.zeros((1,), bool)
     has_m = has if args.labels in ("both", "moving") else no

@@ -160,6 +160,28 @@ def clamp_displacement(grid: jnp.ndarray, max_disp: int) -> jnp.ndarray:
     return (ident + jnp.clip(disp, -bound, bound)).astype(grid.dtype)
 
 
+def warp_values_adjoint(warp_fn, ct: jnp.ndarray,
+                        deform: jnp.ndarray) -> jnp.ndarray:
+    """Transpose of a linear-in-values warp: the trilinear splat.
+
+    For any ``warp_fn(vol, deform)`` linear in ``vol`` (``grid_sample`` and
+    ``pallas_grid_sample`` both are), this satisfies EXACTLY
+
+        <warp_fn(v, deform), ct>  ==  <v, warp_values_adjoint(warp_fn, ct,
+                                         deform)>
+
+    per channel — it is the warp's values-VJP applied to ``ct``, extracted
+    via ``jax.vjp`` at a zeros primal (the unused forward is dead-code
+    eliminated, so the cost is ONE splat).  The label-structured joint seg
+    phase (train/reg_steps.py) uses it to move the dense op of the anatomy
+    inner product onto the *constant* side: with hard fixed labels,
+    ``<warp(m_probs), onehot_f>`` becomes ``<m_probs, splat(onehot_f)>``
+    whose gradient w.r.t. ``m_probs`` is elementwise — no warp VJP at all.
+    """
+    _, pull = jax.vjp(lambda v: warp_fn(v, deform), jnp.zeros_like(ct))
+    return pull(ct)[0]
+
+
 def warp_labels(labels: jnp.ndarray, deform: jnp.ndarray) -> jnp.ndarray:
     """Warp an integer label mask with nearest-neighbour sampling.
 

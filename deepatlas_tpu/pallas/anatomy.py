@@ -35,15 +35,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.warp import clamp_displacement
 from .splat import pallas_splat
-from .warp import (LANE, _bwd_grid_single, _ceil_to, _default_interpret,
-                   _gather_pre, _pad_last, _prep_gather, _range_from, _tent,
-                   _vox_coords, _wp_for, _ypad)
+from .warp import (LANE, _bit, _bwd_grid_single, _ceil_to,  # noqa: F401
+                   _default_interpret, _gather_pre, _pad_last, _prep_gather,
+                   _tent, _tile_meta, _vox_coords, _wp_for, _ypad)
 
 
 # ------------------------------------------------------------- kernels
 
-def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, out_ref,
-                        slab, sem, *, d, h, w, wp, tz, r):
+def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, meta_ref,
+                        out_ref, slab, sem, *, d, h, w, wp, tz, r):
     """m(v) = sum_i w_i(v) * [lab_m(corner_i(v)) == lab_f(v)]."""
     s_planes = tz + 2 * (r + 1)
     yp = _ypad(r)
@@ -64,8 +64,10 @@ def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, out_ref,
 
     rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)
     ty = gy - rows.astype(jnp.float32)
-    s_lo, s_hi = _range_from(jnp.min(gz), jnp.max(gz), 0, s_planes - 1)
-    dy_lo, dy_hi = _range_from(jnp.min(ty), jnp.max(ty), -(r + 1), r + 1)
+    # ranges + per-offset presence from the SMEM meta (warp.py _tile_meta)
+    mask_z, mask_dy = meta_ref[zi, 0], meta_ref[zi, 1]
+    s_lo, s_hi = meta_ref[zi, 2], meta_ref[zi, 3]
+    dy_lo, dy_hi = meta_ref[zi, 4], meta_ref[zi, 5]
 
     # shared single gather plan (see warp.py _fwd_kernel): v1 at ix1, v0
     # via the one-lane-rolled plane; index prep + masked blend weights
@@ -82,28 +84,32 @@ def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, out_ref,
     cp.wait()
 
     def z_body(s, acc):
-        wz = _tent(gz - s.astype(jnp.float32))
+        def z_work(acc):
+            wz = _tent(gz - s.astype(jnp.float32))
 
-        def y_body(dy, acc):
-            y_src = rows + dy
-            wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
-                           _tent(ty - dy.astype(jnp.float32)), 0.0)
-            wzy = wz * wy
+            def y_body(dy, acc):
+                def y_work(acc):
+                    y_src = rows + dy
+                    wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
+                                   _tent(ty - dy.astype(jnp.float32)), 0.0)
+                    wzy = wz * wy
+                    k = jnp.mod(hp - (yp + dy), hp)
+                    rolled = pltpu.roll(slab[s].astype(jnp.float32),
+                                        k, 0)[0:h]
+                    v1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape),
+                                     prep)
+                    v0 = _gather_pre(jnp.broadcast_to(
+                        pltpu.roll(rolled, 1, 1), gz.shape), prep)
+                    xv = jnp.where(jnp.abs(v0 - lf) < 0.5, w0m, 0.0) + \
+                        jnp.where(jnp.abs(v1 - lf) < 0.5, w1m, 0.0)
+                    return acc + wzy * xv
 
-            def y_work(acc):
-                k = jnp.mod(hp - (yp + dy), hp)
-                rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
-                v1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape), prep)
-                v0 = _gather_pre(jnp.broadcast_to(
-                    pltpu.roll(rolled, 1, 1), gz.shape), prep)
-                xv = jnp.where(jnp.abs(v0 - lf) < 0.5, w0m, 0.0) + \
-                    jnp.where(jnp.abs(v1 - lf) < 0.5, w1m, 0.0)
-                return acc + wzy * xv
+                return jax.lax.cond(_bit(mask_dy, dy + r + 1) != 0, y_work,
+                                    lambda a: a, acc)
 
-            return jax.lax.cond(jnp.max(wzy) > 0.0, y_work, lambda a: a,
-                                acc)
+            return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, acc)
 
-        return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, acc)
+        return jax.lax.cond(_bit(mask_z, s) != 0, z_work, lambda a: a, acc)
 
     acc = jax.lax.fori_loop(s_lo, s_hi + 1, z_body,
                             jnp.zeros(gz.shape, jnp.float32))
@@ -111,7 +117,7 @@ def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, out_ref,
 
 
 def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
-                        dgz_ref, dgy_ref, dgx_ref, slab, sem,
+                        meta_ref, dgz_ref, dgy_ref, dgx_ref, slab, sem,
                         *, d, h, w, wp, tz, r):
     s_planes = tz + 2 * (r + 1)
     yp = _ypad(r)
@@ -133,8 +139,11 @@ def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
 
     rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)
     ty = gy - rows.astype(jnp.float32)
-    s_lo, s_hi = _range_from(jnp.min(gz), jnp.max(gz), 0, s_planes - 1)
-    dy_lo, dy_hi = _range_from(jnp.min(ty), jnp.max(ty), -(r + 1), r + 1)
+    # ranges + presence from the SMEM meta; the tent-derivative support
+    # equals the tent support, so the same masks are exact here
+    mask_z, mask_dy = meta_ref[zi, 0], meta_ref[zi, 1]
+    s_lo, s_hi = meta_ref[zi, 2], meta_ref[zi, 3]
+    dy_lo, dy_hi = meta_ref[zi, 4], meta_ref[zi, 5]
 
     ix0 = jnp.floor(gx).astype(jnp.int32)
     fx = gx - ix0.astype(jnp.float32)
@@ -147,32 +156,42 @@ def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
     cp.wait()
 
     def z_body(s, accs):
-        tz_f = gz - s.astype(jnp.float32)
-        wz = _tent(tz_f)
-        dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
+        def z_work(accs):
+            tz_f = gz - s.astype(jnp.float32)
+            wz = _tent(tz_f)
+            dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
 
-        def y_body(dy, accs):
-            az, ay, ax = accs
-            k = jnp.mod(hp - (yp + dy), hp)
-            rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
-            g1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape), prep)
-            g0 = _gather_pre(jnp.broadcast_to(
-                pltpu.roll(rolled, 1, 1), gz.shape), prep)
-            v0 = jnp.where(jnp.abs(g0 - lf) < 0.5, x_ok0f, 0.0)
-            v1 = jnp.where(jnp.abs(g1 - lf) < 0.5, x_ok1f, 0.0)
-            xv = fx0 * v0 + fx * v1
-            dxv = v1 - v0
-            ty_f = ty - dy.astype(jnp.float32)
-            y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
-            wy = jnp.where(y_in, _tent(ty_f), 0.0)
-            dwy = jnp.where(y_in & (jnp.abs(ty_f) < 1.0), -jnp.sign(ty_f),
-                            0.0)
-            az = az + ct * dwz * wy * xv
-            ay = ay + ct * wz * dwy * xv
-            ax = ax + ct * wz * wy * dxv
-            return az, ay, ax
+            def y_body(dy, accs):
+                def y_work(accs):
+                    az, ay, ax = accs
+                    k = jnp.mod(hp - (yp + dy), hp)
+                    rolled = pltpu.roll(slab[s].astype(jnp.float32),
+                                        k, 0)[0:h]
+                    g1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape),
+                                     prep)
+                    g0 = _gather_pre(jnp.broadcast_to(
+                        pltpu.roll(rolled, 1, 1), gz.shape), prep)
+                    v0 = jnp.where(jnp.abs(g0 - lf) < 0.5, x_ok0f, 0.0)
+                    v1 = jnp.where(jnp.abs(g1 - lf) < 0.5, x_ok1f, 0.0)
+                    xv = fx0 * v0 + fx * v1
+                    dxv = v1 - v0
+                    ty_f = ty - dy.astype(jnp.float32)
+                    y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
+                    wy = jnp.where(y_in, _tent(ty_f), 0.0)
+                    dwy = jnp.where(y_in & (jnp.abs(ty_f) < 1.0),
+                                    -jnp.sign(ty_f), 0.0)
+                    az = az + ct * dwz * wy * xv
+                    ay = ay + ct * wz * dwy * xv
+                    ax = ax + ct * wz * wy * dxv
+                    return az, ay, ax
 
-        return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, accs)
+                return jax.lax.cond(_bit(mask_dy, dy + r + 1) != 0, y_work,
+                                    lambda a: a, accs)
+
+            return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, accs)
+
+        return jax.lax.cond(_bit(mask_z, s) != 0, z_work, lambda a: a,
+                            accs)
 
     zero = jnp.zeros(gz.shape, jnp.float32)
     az, ay, ax = jax.lax.fori_loop(s_lo, s_hi + 1, z_body,
@@ -201,20 +220,22 @@ def _matched_fwd_call(lab_m, lab_f, gz, gy, gx, *, tz, r, interpret):
                             constant_values=-1.0), wp)
     kern = functools.partial(_matched_fwd_kernel, d=d, h=hb, w=w, wp=wp,
                              tz=tz, r=r)
+    meta = _tile_meta(gz, gy, tz=tz, r=r, n_tiles=n_tiles, d=d)
     cspec = pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[cspec, cspec, cspec, cspec,
-                  pl.BlockSpec(memory_space=pl.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=cspec,
         out_shape=jax.ShapeDtypeStruct((dp, hb, wp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((s_planes, hp_slab, wp), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         compiler_params=_VMEM,
         interpret=interpret,
-    )(*coords, lfp, labp)
+    )(*coords, lfp, labp, meta)
     return out[:d, :h, :w]
 
 
@@ -234,12 +255,14 @@ def _matched_bwd_call(lab_m, lab_f, gz, gy, gx, ct, *, tz, r, interpret):
     ctp = _pad_last(jnp.pad(ct, [(0, dp - d), (0, hb - h), (0, 0)]), wp)
     kern = functools.partial(_matched_bwd_kernel, d=d, h=hb, w=w, wp=wp,
                              tz=tz, r=r)
+    meta = _tile_meta(gz, gy, tz=tz, r=r, n_tiles=n_tiles, d=d)
     cspec = pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     dgz, dgy, dgx = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=[cspec] * 5 + [pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[cspec] * 5 + [pl.BlockSpec(memory_space=pl.ANY),
+                                pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(cspec, cspec, cspec),
         out_shape=tuple(jax.ShapeDtypeStruct((dp, hb, wp), jnp.float32)
                         for _ in range(3)),
@@ -247,7 +270,7 @@ def _matched_bwd_call(lab_m, lab_f, gz, gy, gx, ct, *, tz, r, interpret):
                         pltpu.SemaphoreType.DMA],
         compiler_params=_VMEM,
         interpret=interpret,
-    )(*coords, lfp, ctp, labp)
+    )(*coords, lfp, ctp, labp, meta)
     return (dgz[:d, :h, :w], dgy[:d, :h, :w], dgx[:d, :h, :w])
 
 

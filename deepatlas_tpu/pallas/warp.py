@@ -169,8 +169,102 @@ def _ypad(r: int) -> int:
     return -(-(r + 1) // 8) * 8
 
 
-def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
-                d, h, w, wp, tz, r):
+def _channel_presence(vol: jnp.ndarray, tz: int, r: int, n_tiles: int,
+                      d: int) -> jnp.ndarray:
+    """(C, n_tiles) int32 table: does channel ``c`` carry ANY nonzero value
+    inside the z-slab window tile ``i`` reads?
+
+    Zero slabs let the warp/splat kernels skip all VPU work for that
+    (tile, channel) instance at the cost of one SMEM scalar read — exact
+    for these linear ops (zero input ⇒ zero output).  Dense probability
+    volumes are always present (the guard is then free); the label-
+    structured joint seg phase (train/reg_steps.py m-hard/f-hard branches)
+    warps/splats ONE-HOT volumes, where only the handful of classes
+    actually appearing in a slab do work.
+    """
+    s_planes = tz + 2 * (r + 1)
+    plane_any = jnp.any(vol != 0, axis=(2, 3))          # (C, D)
+    cols = []
+    for i in range(n_tiles):
+        s0 = min(max(i * tz - (r + 1), 0), max(d - s_planes, 0))
+        cols.append(jnp.any(plane_any[:, s0:s0 + s_planes], axis=1))
+    return jnp.stack(cols, axis=1).astype(jnp.int32)
+
+
+def _bit(mask, i):
+    """Scalar bit test (int32 mask, traced index) for the SMEM offset
+    masks — replaces whole-plane tent-mass reductions with one scalar-core
+    op per loop trip."""
+    return jax.lax.shift_right_logical(mask, i.astype(jnp.int32)) & 1
+
+
+def _pack_bits(present: jnp.ndarray) -> jnp.ndarray:
+    """(..., nbits<=31) bool -> (...,) int32 bitmask (bit i = [..., i])."""
+    nbits = present.shape[-1]
+    weights = (2 ** jnp.arange(nbits, dtype=jnp.int32))
+    return jnp.sum(present.astype(jnp.int32) * weights, axis=-1,
+                   dtype=jnp.int32)
+
+
+def _mask_bounds(present: jnp.ndarray):
+    """(..., n) bool -> (lo, hi) int32 of first/last set bit; empty masks
+    produce (1, 0) — an empty ``fori_loop`` range."""
+    n = present.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    anyb = jnp.any(present, axis=-1)
+    lo = jnp.min(jnp.where(present, idx, n), axis=-1).astype(jnp.int32)
+    hi = jnp.max(jnp.where(present, idx, -1), axis=-1).astype(jnp.int32)
+    return jnp.where(anyb, lo, 1), jnp.where(anyb, hi, 0)
+
+
+def _floor_presence(t: jnp.ndarray, offsets_lo: int, nbits: int,
+                    axes) -> jnp.ndarray:
+    """Presence of integer tent offsets: for offset field ``t``, bit ``i``
+    (offset ``o = offsets_lo + i``) is set iff ANY element (reduced over
+    ``axes``) has ``|t - o| < 1`` — i.e. ``floor(t) in {o-1, o}``.  The
+    |t-o|=0-with-integer-t edge includes one zero-mass neighbour, which is
+    harmless (tent contributes exactly zero)."""
+    ft = jnp.floor(t).astype(jnp.int32)
+    offs = jnp.arange(offsets_lo - 1, offsets_lo + nbits,
+                      dtype=jnp.int32)          # floor values o-1 .. o_max
+    eq = ft[None] == offs.reshape((-1,) + (1,) * ft.ndim)
+    anyv = jnp.any(eq, axis=tuple(a + 1 for a in axes))
+    return jnp.moveaxis(anyv[:-1] | anyv[1:], 0, -1)
+
+
+def _tile_meta(gz: jnp.ndarray, gy: jnp.ndarray, *, tz: int, r: int,
+               n_tiles: int, d: int) -> jnp.ndarray:
+    """(n_tiles, 6) int32 SMEM table for the warp kernels:
+    ``[mask_z, mask_dy, s_lo, s_hi, dy_lo, dy_hi]`` per output z-tile.
+
+    mask_z bit ``s``: some voxel of the tile's output planes samples source
+    slab plane ``s`` (slab-local) with nonzero z-tent.  mask_dy bit
+    ``dy + r + 1``: some voxel needs source row ``row + dy``.  The bounds
+    are the masks' first/last set bits — the kernels' loop ranges, computed
+    here from the UNPADDED fields (the padded blocks the kernel sees carry
+    zero/edge lanes that would otherwise blow the in-kernel min/max ranges
+    to the full static bound: a measured ~2.5x trip inflation even for
+    smooth fields, worse saturated)."""
+    s_planes = tz + 2 * (r + 1)
+    rows = jnp.arange(gz.shape[1], dtype=jnp.float32)[None, :, None]
+    ty = gy - rows
+    cols = []
+    for i in range(n_tiles):
+        z0 = i * tz
+        blk = slice(z0, min(z0 + tz, d))
+        s0 = min(max(z0 - (r + 1), 0), max(d - s_planes, 0))
+        pz = _floor_presence(gz[blk] - s0, 0, s_planes, axes=(0, 1, 2))
+        pdy = _floor_presence(ty[blk], -(r + 1), 2 * r + 3, axes=(0, 1, 2))
+        s_lo, s_hi = _mask_bounds(pz)
+        dy_lo, dy_hi = _mask_bounds(pdy)
+        cols.append(jnp.stack([
+            _pack_bits(pz), _pack_bits(pdy), s_lo, s_hi,
+            dy_lo - (r + 1), dy_hi - (r + 1)]))
+    return jnp.stack(cols).astype(jnp.int32)
+
+
+def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, pres_ref, meta_ref,
+                out_ref, slab, sem, *, d, h, w, wp, tz, r):
     s_planes = tz + 2 * (r + 1)          # slab depth
     yp = _ypad(r)
     hp = h + 2 * yp                      # y-padded slab height
@@ -192,9 +286,14 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
     rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)  # y index
     ty = gy - rows.astype(jnp.float32)                       # y offset field
 
-    # per-tile true iteration ranges (adaptive skip)
-    s_lo, s_hi = _range_from(jnp.min(gz), jnp.max(gz), 0, s_planes - 1)
-    dy_lo, dy_hi = _range_from(jnp.min(ty), jnp.max(ty), -(r + 1), r + 1)
+    # loop ranges + per-offset presence from the precomputed SMEM meta
+    # (_tile_meta): computed on the unpadded fields, so pad lanes cannot
+    # inflate them, and scalar bit tests replace whole-plane tent-mass
+    # reductions for empty (s, dy) combos
+    mask_z = meta_ref[zi, 0]
+    mask_dy = meta_ref[zi, 1]
+    s_lo, s_hi = meta_ref[zi, 2], meta_ref[zi, 3]
+    dy_lo, dy_hi = meta_ref[zi, 4], meta_ref[zi, 5]
 
     # x interpolation support (exact): both trilinear taps ride ONE gather
     # plan — v1 at ix1 = clip(ix0+1), v0 from the one-lane-rolled plane at
@@ -212,44 +311,54 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, out_ref, slab, sem, *,
     cp.wait()
 
     def z_body(s, acc):
-        wz = _tent(gz - s.astype(jnp.float32))
+        def z_work(acc):
+            wz = _tent(gz - s.astype(jnp.float32))
 
-        def y_body(dy, acc):
-            y_src = rows + dy
-            wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
-                           _tent(ty - dy.astype(jnp.float32)), 0.0)
-            wzy = wz * wy
+            def y_body(dy, acc):
+                def y_work(acc):
+                    y_src = rows + dy
+                    wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
+                                   _tent(ty - dy.astype(jnp.float32)), 0.0)
+                    wzy = wz * wy
+                    # realize the dy row shift as a cyclic roll + aligned
+                    # static slice: unaligned sublane slices of VMEM cannot
+                    # be vector-loaded or gathered from (Mosaic 8-row
+                    # tiling), but tpu.dynamic_rotate takes any shift.
+                    # Wrapped rows carry the zeroed padding and are masked
+                    # by the y-validity weight.
+                    k = jnp.mod(hp - (yp + dy), hp)
+                    # tpu.dynamic_rotate is 32-bit only: cast up first
+                    rolled = pltpu.roll(slab[s].astype(jnp.float32),
+                                        k, 0)[0:h]
+                    v1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape),
+                                     prep)
+                    v0 = _gather_pre(jnp.broadcast_to(
+                        pltpu.roll(rolled, 1, 1), gz.shape), prep)
+                    return acc + wzy * (w0 * v0 + w1 * v1)
 
-            def y_work(acc):
-                # realize the dy row shift as a cyclic roll + aligned
-                # static slice: unaligned sublane slices of VMEM cannot be
-                # vector-loaded or gathered from (Mosaic 8-row tiling), but
-                # tpu.dynamic_rotate takes any shift.  Wrapped rows carry
-                # the zeroed padding and are masked by the y-validity
-                # weight.
-                k = jnp.mod(hp - (yp + dy), hp)
-                # tpu.dynamic_rotate is 32-bit only: cast the plane first
-                rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
-                v1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape), prep)
-                v0 = _gather_pre(jnp.broadcast_to(
-                    pltpu.roll(rolled, 1, 1), gz.shape), prep)
-                return acc + wzy * (w0 * v0 + w1 * v1)
+                # offsets no voxel's tent touches cost one scalar bit test
+                # (the masks overapproximate joint (s, dy) mass as a
+                # product set — a few zero-mass combos still execute)
+                return jax.lax.cond(_bit(mask_dy, dy + r + 1) != 0,
+                                    y_work, lambda a: a, acc)
 
-            # (s, dy) combos whose combined tent mass is zero cost one
-            # reduction instead of the rolls + gathers
-            return jax.lax.cond(jnp.max(wzy) > 0.0, y_work, lambda a: a,
-                                acc)
+            return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, acc)
 
-        return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, acc)
+        return jax.lax.cond(_bit(mask_z, s) != 0, z_work, lambda a: a, acc)
 
+    # empty-slab skip: zero input planes contribute nothing (linear op) —
+    # one-hot channels absent from this slab cost one scalar read
     acc = jnp.zeros(gz.shape, jnp.float32)
-    acc = jax.lax.fori_loop(s_lo, s_hi + 1, z_body, acc)
+    acc = jax.lax.cond(
+        pres_ref[ci, zi] != 0,
+        lambda a: jax.lax.fori_loop(s_lo, s_hi + 1, z_body, a),
+        lambda a: a, acc)
     out_ref[...] = acc.astype(out_ref.dtype)[None]
 
 
 # ------------------------------------------------------- backward: grid
 
-def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref,
+def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref, meta_ref,
                      dgz_ref, dgy_ref, dgx_ref, slab, sem,
                      *, d, h, w, wp, tz, r):
     s_planes = tz + 2 * (r + 1)
@@ -272,8 +381,14 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref,
 
     rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)
     ty = gy - rows.astype(jnp.float32)
-    s_lo, s_hi = _range_from(jnp.min(gz), jnp.max(gz), 0, s_planes - 1)
-    dy_lo, dy_hi = _range_from(jnp.min(ty), jnp.max(ty), -(r + 1), r + 1)
+    # precomputed ranges + presence masks (see _tile_meta / _fwd_kernel).
+    # NB the tent DERIVATIVE support equals the tent support (both vanish
+    # at |t| >= 1, dwz/dwy are zero exactly where wz/wy are), so the same
+    # masks are exact for the gradient accumulation
+    mask_z = meta_ref[zi, 0]
+    mask_dy = meta_ref[zi, 1]
+    s_lo, s_hi = meta_ref[zi, 2], meta_ref[zi, 3]
+    dy_lo, dy_hi = meta_ref[zi, 4], meta_ref[zi, 5]
 
     ix0 = jnp.floor(gx).astype(jnp.int32)
     fx = gx - ix0.astype(jnp.float32)
@@ -288,32 +403,41 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref,
     cp.wait()
 
     def z_body(s, accs):
-        tz_f = gz - s.astype(jnp.float32)
-        wz = _tent(tz_f)
-        # d tent(t)/dt = -sign(t) on |t|<1, 0 outside
-        dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
+        def z_work(accs):
+            tz_f = gz - s.astype(jnp.float32)
+            wz = _tent(tz_f)
+            # d tent(t)/dt = -sign(t) on |t|<1, 0 outside
+            dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
 
-        def y_body(dy, accs):
-            az, ay, ax = accs
-            k = jnp.mod(hp - (yp + dy), hp)
-            rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
-            v1 = jnp.where(x_ok1, _gather_pre(
-                jnp.broadcast_to(rolled, gz.shape), prep), 0.0)
-            v0 = jnp.where(x_ok0, _gather_pre(jnp.broadcast_to(
-                pltpu.roll(rolled, 1, 1), gz.shape), prep), 0.0)
-            xv = fx0 * v0 + fx * v1
-            dxv = v1 - v0
-            ty_f = ty - dy.astype(jnp.float32)
-            y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
-            wy = jnp.where(y_in, _tent(ty_f), 0.0)
-            dwy = jnp.where(y_in & (jnp.abs(ty_f) < 1.0), -jnp.sign(ty_f),
-                            0.0)
-            az = az + ct * dwz * wy * xv
-            ay = ay + ct * wz * dwy * xv
-            ax = ax + ct * wz * wy * dxv
-            return az, ay, ax
+            def y_body(dy, accs):
+                def y_work(accs):
+                    az, ay, ax = accs
+                    k = jnp.mod(hp - (yp + dy), hp)
+                    rolled = pltpu.roll(slab[s].astype(jnp.float32),
+                                        k, 0)[0:h]
+                    v1 = jnp.where(x_ok1, _gather_pre(
+                        jnp.broadcast_to(rolled, gz.shape), prep), 0.0)
+                    v0 = jnp.where(x_ok0, _gather_pre(jnp.broadcast_to(
+                        pltpu.roll(rolled, 1, 1), gz.shape), prep), 0.0)
+                    xv = fx0 * v0 + fx * v1
+                    dxv = v1 - v0
+                    ty_f = ty - dy.astype(jnp.float32)
+                    y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
+                    wy = jnp.where(y_in, _tent(ty_f), 0.0)
+                    dwy = jnp.where(y_in & (jnp.abs(ty_f) < 1.0),
+                                    -jnp.sign(ty_f), 0.0)
+                    az = az + ct * dwz * wy * xv
+                    ay = ay + ct * wz * dwy * xv
+                    ax = ax + ct * wz * wy * dxv
+                    return az, ay, ax
 
-        return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, accs)
+                return jax.lax.cond(_bit(mask_dy, dy + r + 1) != 0,
+                                    y_work, lambda a: a, accs)
+
+            return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, accs)
+
+        return jax.lax.cond(_bit(mask_z, s) != 0, z_work, lambda a: a,
+                            accs)
 
     zero = jnp.zeros(gz.shape, jnp.float32)
     az, ay, ax = jax.lax.fori_loop(s_lo, s_hi + 1, z_body,
@@ -377,11 +501,15 @@ def _fwd_single(vol: jnp.ndarray, gz, gy, gx, *, tz: int, r: int,
     kern = functools.partial(_fwd_kernel, d=d, h=hb, w=w, wp=wp, tz=tz, r=r)
     cspec = pl.BlockSpec((tz, hb, wp), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM)
+    pres = _channel_presence(vol, tz, r, n_tiles, d)
+    meta = _tile_meta(gz, gy, tz=tz, r=r, n_tiles=n_tiles, d=d)
     out = pl.pallas_call(
         kern,
         grid=(n_tiles, nc),
         in_specs=[cspec, cspec, cspec,
-                  pl.BlockSpec(memory_space=pl.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((1, tz, hb, wp), lambda i, c: (c, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nc, dp, hb, wp), vt),
@@ -390,7 +518,7 @@ def _fwd_single(vol: jnp.ndarray, gz, gy, gx, *, tz: int, r: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*coords, volp)
+    )(*coords, volp, pres, meta)
     return out[:, :d, :h, :w]
 
 
@@ -415,6 +543,7 @@ def _bwd_grid_single(vol, gz, gy, gx, ct, *, tz: int, r: int,
 
     kern = functools.partial(_bwd_grid_kernel, d=d, h=hb, w=w, wp=wp, tz=tz,
                              r=r)
+    meta = _tile_meta(gz, gy, tz=tz, r=r, n_tiles=n_tiles, d=d)
     spec = pl.BlockSpec((tz, hb, wp), lambda i, c: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     ct_spec = pl.BlockSpec((1, tz, hb, wp), lambda i, c: (c, i, 0, 0),
@@ -423,7 +552,8 @@ def _bwd_grid_single(vol, gz, gy, gx, ct, *, tz: int, r: int,
         kern,
         grid=(n_tiles, nc),
         in_specs=[spec, spec, spec, ct_spec,
-                  pl.BlockSpec(memory_space=pl.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(spec, spec, spec),
         out_shape=tuple(jax.ShapeDtypeStruct((dp, hb, wp), jnp.float32)
                         for _ in range(3)),
@@ -432,7 +562,7 @@ def _bwd_grid_single(vol, gz, gy, gx, ct, *, tz: int, r: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*padded, volp)
+    )(*padded, volp, meta)
     return (dgz[:d, :h, :w], dgy[:d, :h, :w], dgx[:d, :h, :w])
 
 

@@ -154,12 +154,14 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
     ``seg_warp_fn`` warps the C = n_class probability volumes of the seg
     phase (frozen field — pass the values-only-gradient Pallas variant).
 
-    ``hard_fused`` mirrors reg_steps.py's seg-phase fast path: shards whose
-    local batch is fully labeled on both sides take a per-shard ``lax.cond``
-    branch that skips the dense probability warp (zero anatomy gradient)
-    and computes the anatomy value on the C=1 matched-warp kernel.  The
-    branch contains no collectives, so shards may diverge freely; gradient
-    pmean happens after the cond.
+    ``hard_fused`` mirrors reg_steps.py's seg-phase label-structure
+    dispatch: each shard resolves its LOCAL batch's label pattern with a
+    per-shard ``lax.switch`` — both sides hard (C=1 matched-anatomy value,
+    supervised-only backwards), moving hard (constant warped one-hot, warp
+    forward only), fixed hard (adjoint-identity splat of the constant
+    one-hot, elementwise anatomy gradient), or the general soft path.  No
+    branch contains collectives, so shards may diverge freely; gradient
+    pmean happens after the switch.
 
     Returns ``(dp_reg_step, dp_seg_step)`` with signatures
     ``(phase_state, other_state, moving, fixed, moving_seg, fixed_seg,
@@ -328,10 +330,94 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
                 grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
                 return grads, new_bn2, anat, sup_m, sup_f
 
+            def m_hard_branch(_):
+                # local moving batch fully labeled: constant warped one-hot
+                # — dense warp FORWARD only (see reg_steps.py), gradient
+                # through the fixed branch elementwise.  No collectives.
+                warped_const = jax.lax.stop_gradient(
+                    seg_warp_fn(onehot_m, deform))
+
+                def loss_a(params):
+                    logits_m, new_bn = _apply_model(seg_state, params,
+                                                    moving, train=True)
+                    sup_m = sup_loss(logits_m.astype(jnp.float32),
+                                     moving_seg.astype(jnp.int32))
+                    return supervised_weight * sup_m * wm, (new_bn, sup_m)
+
+                (_, (new_bn, sup_m)), grads_a = jax.value_and_grad(
+                    loss_a, has_aux=True)(seg_state.params)
+                grads_a = jax.lax.optimization_barrier(grads_a)
+
+                def loss_b(params):
+                    logits_f, new_bn2 = _apply_model(
+                        seg_state.replace(batch_stats=new_bn), params,
+                        fixed, train=True)
+                    f_probs = branch_probs(logits_f, f_has, onehot_f)
+                    anat_b = _soft_dice(warped_const, f_probs)
+                    sup_f = sup_loss(logits_f.astype(jnp.float32),
+                                     fixed_seg.astype(jnp.int32))
+                    loss = anatomy_weight * anat_b \
+                        + supervised_weight * sup_f * wf
+                    return loss, (new_bn2, anat_b, sup_f)
+
+                (_, (new_bn2, anat, sup_f)), grads_b = jax.value_and_grad(
+                    loss_b, has_aux=True)(seg_state.params)
+                grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
+                return grads, new_bn2, anat, sup_m, sup_f
+
+            def f_hard_branch(_):
+                # local fixed batch fully labeled: adjoint identity moves
+                # the dense op to the constant side — ONE dense splat,
+                # elementwise anatomy gradient (see reg_steps.py).  No
+                # collectives.
+                from ..ops.warp import warp_values_adjoint
+                S = jax.lax.stop_gradient(warp_values_adjoint(
+                    seg_warp_fn, onehot_f.astype(jnp.float32), deform))
+                w_all = jnp.sum(S, axis=-1)
+                den_f = jnp.sum(onehot_f[..., 1:], axis=(1, 2, 3),
+                                dtype=jnp.float32)
+
+                def loss_a(params):
+                    logits_m, new_bn = _apply_model(seg_state, params,
+                                                    moving, train=True)
+                    m_probs = branch_probs(logits_m, m_has,
+                                           onehot_m).astype(jnp.float32)
+                    inter = jnp.sum(m_probs[..., 1:] * S[..., 1:],
+                                    axis=(1, 2, 3), dtype=jnp.float32)
+                    den_m = jnp.sum(m_probs[..., 1:] * w_all[..., None],
+                                    axis=(1, 2, 3), dtype=jnp.float32)
+                    anat = 1.0 - jnp.mean(
+                        2.0 * inter / (den_m + den_f + 1e-5))
+                    sup_m = sup_loss(logits_m.astype(jnp.float32),
+                                     moving_seg.astype(jnp.int32))
+                    loss = anatomy_weight * anat \
+                        + supervised_weight * sup_m * wm
+                    return loss, (new_bn, anat, sup_m)
+
+                (_, (new_bn, anat, sup_m)), grads_a = jax.value_and_grad(
+                    loss_a, has_aux=True)(seg_state.params)
+                grads_a = jax.lax.optimization_barrier(grads_a)
+
+                def loss_b(params):
+                    logits_f, new_bn2 = _apply_model(
+                        seg_state.replace(batch_stats=new_bn), params,
+                        fixed, train=True)
+                    sup_f = sup_loss(logits_f.astype(jnp.float32),
+                                     fixed_seg.astype(jnp.int32))
+                    return supervised_weight * sup_f * wf, (new_bn2, sup_f)
+
+                (_, (new_bn2, sup_f)), grads_b = jax.value_and_grad(
+                    loss_b, has_aux=True)(seg_state.params)
+                grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
+                return grads, new_bn2, anat, sup_m, sup_f
+
             if hard_fused:
-                all_hard = jnp.all(m_has) & jnp.all(f_has)
-                grads, new_bn2, anat, sup_m, sup_f = lax.cond(
-                    all_hard, hard_branch, soft_branch, None)
+                am = jnp.all(m_has).astype(jnp.int32)
+                af = jnp.all(f_has).astype(jnp.int32)
+                grads, new_bn2, anat, sup_m, sup_f = lax.switch(
+                    am * 2 + af,
+                    [soft_branch, f_hard_branch, m_hard_branch,
+                     hard_branch], None)
             else:
                 grads, new_bn2, anat, sup_m, sup_f = soft_branch(None)
 

@@ -177,20 +177,35 @@ def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
     once, which exceeds one chip's HBM at full MB101 size.
     ``checkpoint_apply`` additionally makes each forward full-recompute.
 
-    ``hard_fused`` adds a runtime fast path (``lax.cond``) for iterations
-    where EVERY batch element has ground-truth labels on BOTH sides: the
-    anatomy term then reads only constants (``branch_probs`` selects the
-    one-hot for both branches), so its gradient w.r.t. the seg params is
-    identically zero — the same structural zero the reference's autograd
-    would exploit (warping detached one-hots builds no graph back to the
-    seg net).  The branch computes the exact anatomy *value* on the C=1
-    matched-warp kernel (pallas/anatomy.py::hard_anatomy_dice) and takes
-    supervised-only gradients, skipping the dense C = n_class probability
-    warp + splat entirely (~92%% of the phase at MB101 size, BENCH_r02).
+    ``hard_fused`` adds a runtime label-structure dispatch (``lax.switch``)
+    that resolves which sides of the pair carry ground-truth labels and
+    takes the cheapest branch that computes the EXACT same gradients:
+
+    * **both hard** — the anatomy reads only constants (``branch_probs``
+      selects the one-hot for both branches), so its gradient w.r.t. the
+      seg params is identically zero — the same structural zero the
+      reference's autograd would exploit (warping detached one-hots builds
+      no graph back to the seg net).  Exact anatomy *value* on the C=1
+      matched-warp kernel (pallas/anatomy.py::hard_anatomy_dice),
+      supervised-only backwards; the dense C = n_class probability
+      warp + splat never runs (~92%% of the phase at MB101 size, BENCH_r02).
+    * **moving hard, fixed soft** — the warp input is the constant one-hot:
+      ONE dense warp *forward* (no values-VJP/splat); the anatomy gradient
+      reaches the seg net only through the fixed branch, elementwise.
+    * **fixed hard, moving soft** — the adjoint identity
+      ``<warp(m_probs), onehot_f> = <m_probs, splat(onehot_f)>``
+      (ops/warp.py::warp_values_adjoint) moves the dense op onto the
+      constant side: ONE dense splat, elementwise anatomy gradient, no
+      warp at all in the differentiated graph.
+    * **neither all-hard** (mixed/unlabeled batches) — the general soft
+      path below.
+
     Requires ``max_disp`` and is only exact when ``warp_fn`` clamps
     displacements the same way (the Pallas warp's ``bound_mode='clamp'``).
-    The fully-labeled joint recipe (all MB101-21 volumes labeled) runs this
-    branch every iteration.
+    The fully-labeled joint recipe (all MB101-21 volumes labeled) runs the
+    both-hard branch every iteration; the semi-supervised recipes (few
+    labeled volumes, the paper's headline setting) run the one-sided
+    branches for most pairs.
 
     Signature: (seg_state, reg_state, moving, fixed, moving_seg, fixed_seg,
     moving_has_label, fixed_has_label) -> (seg_state, metrics)
@@ -323,10 +338,102 @@ def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
             grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
             return grads, new_bn2, anat, sup_m, sup_f
 
+        def m_hard_branch(_):
+            # Moving side fully labeled (fixed not): the warp input is the
+            # constant one-hot, so the anatomy is a plain function of the
+            # FIXED probabilities against a constant warped volume — dense
+            # warp FORWARD only, no values-VJP/splat kernel at all.  Pass A
+            # is supervised-only (the anatomy reads no moving logits).
+            warped_const = jax.lax.stop_gradient(
+                warp_fn(onehot_m, deform))
+
+            def loss_a(params):
+                logits_m, new_bn = apply_model(seg_state, params, moving,
+                                               train=True)
+                sup_m = supervised_loss(logits_m.astype(jnp.float32),
+                                        moving_seg.astype(jnp.int32))
+                return supervised_weight * sup_m * any_m / sup_norm, \
+                    (new_bn, sup_m)
+
+            (_, (new_bn, sup_m)), grads_a = jax.value_and_grad(
+                loss_a, has_aux=True)(seg_state.params)
+            grads_a = jax.lax.optimization_barrier(grads_a)
+
+            def loss_b(params):
+                logits_f, new_bn2 = apply_model(
+                    seg_state.replace(batch_stats=new_bn), params, fixed,
+                    train=True)
+                f_probs = branch_probs(logits_f, fixed_has_label, onehot_f)
+                anat_b = _soft_dice(warped_const, f_probs)
+                sup_f = supervised_loss(logits_f.astype(jnp.float32),
+                                        fixed_seg.astype(jnp.int32))
+                loss = anatomy_weight * anat_b \
+                    + supervised_weight * sup_f * any_f / sup_norm
+                return loss, (new_bn2, anat_b, sup_f)
+
+            (_, (new_bn2, anat, sup_f)), grads_b = jax.value_and_grad(
+                loss_b, has_aux=True)(seg_state.params)
+            grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
+            return grads, new_bn2, anat, sup_m, sup_f
+
+        def f_hard_branch(_):
+            # Fixed side fully labeled (moving not): the anatomy touches the
+            # seg net only through the MOVING probabilities, so move the
+            # dense op onto the constant side with the adjoint identity
+            #   <warp(m_probs)_c, onehot_f_c> = <m_probs_c, splat(onehot_f)_c>
+            # (ops/warp.py::warp_values_adjoint).  ONE dense splat of a
+            # constant; the anatomy gradient w.r.t. m_probs is elementwise —
+            # neither the warp forward nor its VJP runs.  splat(ones) for
+            # the warped-mass denominator is the free channel-sum of the
+            # one-hot splat.
+            from ..ops.warp import warp_values_adjoint
+            S = jax.lax.stop_gradient(warp_values_adjoint(
+                warp_fn, onehot_f.astype(jnp.float32), deform))
+            w_all = jnp.sum(S, axis=-1)            # splat(ones), (B,D,H,W)
+            den_f = jnp.sum(onehot_f[..., 1:], axis=(1, 2, 3),
+                            dtype=jnp.float32)
+
+            def loss_a(params):
+                logits_m, new_bn = apply_model(seg_state, params, moving,
+                                               train=True)
+                m_probs = branch_probs(logits_m, moving_has_label,
+                                       onehot_m).astype(jnp.float32)
+                inter = jnp.sum(m_probs[..., 1:] * S[..., 1:],
+                                axis=(1, 2, 3), dtype=jnp.float32)
+                den_m = jnp.sum(m_probs[..., 1:] * w_all[..., None],
+                                axis=(1, 2, 3), dtype=jnp.float32)
+                anat = 1.0 - jnp.mean(2.0 * inter / (den_m + den_f + 1e-5))
+                sup_m = supervised_loss(logits_m.astype(jnp.float32),
+                                        moving_seg.astype(jnp.int32))
+                loss = anatomy_weight * anat \
+                    + supervised_weight * sup_m * any_m / sup_norm
+                return loss, (new_bn, anat, sup_m)
+
+            (_, (new_bn, anat, sup_m)), grads_a = jax.value_and_grad(
+                loss_a, has_aux=True)(seg_state.params)
+            grads_a = jax.lax.optimization_barrier(grads_a)
+
+            def loss_b(params):
+                logits_f, new_bn2 = apply_model(
+                    seg_state.replace(batch_stats=new_bn), params, fixed,
+                    train=True)
+                sup_f = supervised_loss(logits_f.astype(jnp.float32),
+                                        fixed_seg.astype(jnp.int32))
+                return supervised_weight * sup_f * any_f / sup_norm, \
+                    (new_bn2, sup_f)
+
+            (_, (new_bn2, sup_f)), grads_b = jax.value_and_grad(
+                loss_b, has_aux=True)(seg_state.params)
+            grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
+            return grads, new_bn2, anat, sup_m, sup_f
+
         if hard_fused:
-            all_hard = jnp.all(moving_has_label) & jnp.all(fixed_has_label)
-            grads, new_bn2, anat, sup_m, sup_f = jax.lax.cond(
-                all_hard, hard_branch, soft_branch, None)
+            am = jnp.all(moving_has_label).astype(jnp.int32)
+            af = jnp.all(fixed_has_label).astype(jnp.int32)
+            grads, new_bn2, anat, sup_m, sup_f = jax.lax.switch(
+                am * 2 + af,
+                [soft_branch, f_hard_branch, m_hard_branch, hard_branch],
+                None)
         else:
             grads, new_bn2, anat, sup_m, sup_f = soft_branch(None)
 

@@ -208,3 +208,101 @@ class TestDisplacementGuard:
         grid = disp + identity_grid_batch((1, D, H, W, 3))
         np.testing.assert_allclose(np.asarray(clamp_displacement(grid, R)),
                                    np.asarray(grid), atol=1e-6)
+
+
+class TestValuesAdjoint:
+    """ops/warp.py::warp_values_adjoint — the exact transpose identity
+    ``<warp(v), ct> == <v, adjoint(ct)>`` that the label-structured joint
+    seg phase (train/reg_steps.py f-hard branch) relies on."""
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_inner_product_identity(self, rng, use_pallas):
+        from functools import partial
+
+        from deepatlas_tpu.ops.warp import warp_values_adjoint
+
+        if use_pallas:
+            warp_fn = partial(pallas_grid_sample, max_disp=R, z_tile=TZ,
+                              grad="values", interpret=True)
+        else:
+            from deepatlas_tpu.ops.warp import clamp_displacement
+
+            def warp_fn(v, g):
+                return grid_sample(v, clamp_displacement(g, R))
+
+        c = 3
+        vol = jnp.asarray(rng.rand(1, D, H, W, c).astype(np.float32))
+        ct = jnp.asarray(rng.rand(1, D, H, W, c).astype(np.float32))
+        grid = jnp.asarray(make_field(rng, amplitude_vox=R + 2.0)) \
+            + identity_grid_batch((1, D, H, W, 3))
+
+        lhs = jnp.sum(warp_fn(vol, grid) * ct, axis=(1, 2, 3))
+        rhs = jnp.sum(vol * warp_values_adjoint(warp_fn, ct, grid),
+                      axis=(1, 2, 3))
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   rtol=2e-4)
+
+    def test_channel_sum_is_ones_splat(self, rng):
+        """splat(one_hot) summed over channels equals splat(ones) — the
+        free warped-mass denominator of the f-hard branch."""
+        from functools import partial
+
+        from deepatlas_tpu.ops import one_hot
+        from deepatlas_tpu.ops.warp import warp_values_adjoint
+
+        warp_fn = partial(pallas_grid_sample, max_disp=R, z_tile=TZ,
+                          grad="values", interpret=True)
+        labs = jnp.asarray(rng.randint(0, 4, (1, D, H, W)))
+        onehot = one_hot(labs.astype(jnp.int32), 4, dtype=jnp.float32)
+        grid = jnp.asarray(make_field(rng, amplitude_vox=R - 0.5)) \
+            + identity_grid_batch((1, D, H, W, 3))
+        s = warp_values_adjoint(warp_fn, onehot, grid)
+        ones = warp_values_adjoint(warp_fn, jnp.ones((1, D, H, W, 1)), grid)
+        np.testing.assert_allclose(np.asarray(jnp.sum(s, axis=-1)),
+                                   np.asarray(ones[..., 0]), atol=1e-4)
+
+
+class TestPresenceSkip:
+    """The empty-slab skip guard (warp `_channel_presence` + SMEM table) is
+    exact: zero channel-slabs contribute nothing to the linear warp/splat,
+    so skipping their VPU work changes no output.  One-hot volumes — the
+    m-hard/f-hard branches of the label-structured joint seg phase — are the
+    sparse case the guard accelerates."""
+
+    def test_onehot_warp_and_splat_match_xla(self, rng):
+        from functools import partial
+
+        from deepatlas_tpu.ops import one_hot
+        from deepatlas_tpu.ops.warp import (clamp_displacement,
+                                            warp_values_adjoint)
+
+        c = 6
+        # classes localized in z so most (tile, channel) slabs are empty
+        labs = rng.randint(0, c, (1, D, H, W))
+        labs[:, : D // 2] = 0
+        oh = one_hot(jnp.asarray(labs).astype(jnp.int32), c,
+                     dtype=jnp.float32)
+        grid = jnp.asarray(make_field(rng, amplitude_vox=R + 1.0)) \
+            + identity_grid_batch((1, D, H, W, 3))
+        wf = partial(pallas_grid_sample, max_disp=R, z_tile=TZ,
+                     grad="values", interpret=True)
+
+        out_k = wf(oh, grid)
+        out_x = grid_sample(oh, clamp_displacement(grid, R))
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                                   atol=1e-5)
+
+        s_k = warp_values_adjoint(wf, oh, grid)
+        s_x = warp_values_adjoint(
+            lambda v, g: grid_sample(v, clamp_displacement(g, R)), oh, grid)
+        np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_x),
+                                   atol=1e-5)
+
+    def test_presence_table(self):
+        from deepatlas_tpu.pallas.warp import _channel_presence
+        vol = jnp.zeros((3, 24, 4, 4))
+        vol = vol.at[1, 23].set(1.0)          # class 1 only in the last plane
+        pres = np.asarray(_channel_presence(vol, tz=4, r=3, n_tiles=6, d=24))
+        assert pres[0].sum() == 0 and pres[2].sum() == 0
+        # slab windows reaching plane 23: tiles whose [s0, s0+12) cover it
+        assert pres[1, -1] == 1 and pres[1, 0] == 0

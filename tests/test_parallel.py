@@ -339,6 +339,41 @@ class TestDPJointKernelsEngaged:
         a1 = np.asarray(jax.tree_util.tree_leaves(dp_ss2.params)[0])
         assert np.abs(a0 - a1).max() > 0
 
+        # one-sided label structures: every shard takes the m-hard (resp.
+        # f-hard) switch branch (constant warped one-hot / adjoint splat,
+        # kernels engaged via require_kernel) and DP equals the
+        # single-device step on the merged batch — the per-shard
+        # supervised weights coincide with the any()-batch semantics when
+        # the label pattern is uniform across shards
+        both_l = jnp.asarray([True, True])
+        for has_m, has_f in ((both_l, has), (has, both_l)):
+            args_1s = shard_batch((moving, fixed, mseg, fseg, has_m,
+                                   has_f), mesh)
+            ss3, rs3 = fresh_states()
+            dp_ss3, dp_rs3 = replicate(ss3, mesh), replicate(rs3, mesh)
+            dp_ss3, dp_sm3 = dp_seg(dp_ss3, dp_rs3, *args_1s)
+            ss4, rs4 = fresh_states()
+            ss4, sm4 = sg(ss4, rs4, moving, fixed, mseg, fseg, has_m,
+                          has_f)
+            np.testing.assert_allclose(float(dp_sm3["loss"]),
+                                       float(sm4["loss"]), rtol=1e-4)
+            np.testing.assert_allclose(float(dp_sm3["anatomy"]),
+                                       float(sm4["anatomy"]), rtol=1e-4)
+            for a, b in zip(jax.tree_util.tree_leaves(dp_ss3.params),
+                            jax.tree_util.tree_leaves(ss4.params)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=2e-5)
+
+        # opposite one-sided patterns per shard: shard 0 takes m-hard,
+        # shard 1 f-hard — switch indices diverge across shards with no
+        # collectives inside; the step must run and stay finite
+        hm = jnp.asarray([True, False])
+        hf = jnp.asarray([False, True])
+        args_div = shard_batch((moving, fixed, mseg, fseg, hm, hf), mesh)
+        dp_ss4, dp_sm4 = dp_seg(dp_ss2, dp_rs, *args_div)
+        assert np.isfinite(float(dp_sm4["loss"]))
+        assert np.isfinite(float(dp_sm4["anatomy"]))
+
     def test_require_kernel_raises_on_shallow_volume(self):
         from deepatlas_tpu.pallas import pallas_grid_sample
         vol = jnp.zeros((1, 4, 8, 8, 2))

@@ -254,17 +254,39 @@ def test_joint_seg_hard_fused_matches_soft(rng):
                     jax.tree_util.tree_leaves(p_soft)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
-    # mixed labels: the cond must take the soft branch — same results as
-    # the hard_fused=False step (up to XLA fusion noise: the cond-wrapped
-    # soft branch compiles to a different program than the standalone one)
+    # mixed labels on BOTH sides: the switch must take the soft branch —
+    # same results as the hard_fused=False step (up to XLA fusion noise:
+    # the switch-wrapped soft branch compiles to a different program than
+    # the standalone one)
     mixed = jnp.asarray([True, False])
-    p_cond, m_cond = run(True, mixed, both)
-    p_ref, m_ref = run(False, mixed, both)
+    none = jnp.asarray([False, False])
+    p_cond, m_cond = run(True, mixed, mixed)
+    p_ref, m_ref = run(False, mixed, mixed)
     np.testing.assert_allclose(float(m_cond["loss"]), float(m_ref["loss"]),
                                rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(p_cond),
                     jax.tree_util.tree_leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-8)
+
+    # one-sided label structures take the m-hard / f-hard fast branches
+    # (constant warped one-hot / adjoint-identity splat) — mathematically
+    # the same gradients as the dense soft path, float-reassociated
+    for has_m, has_f, tag in ((both, mixed, "m_hard"),
+                              (both, none, "m_hard"),
+                              (mixed, both, "f_hard"),
+                              (none, both, "f_hard")):
+        p_fast, m_fast = run(True, has_m, has_f)
+        p_ref, m_ref = run(False, has_m, has_f)
+        np.testing.assert_allclose(float(m_fast["anatomy"]),
+                                   float(m_ref["anatomy"]), rtol=1e-5,
+                                   err_msg=tag)
+        np.testing.assert_allclose(float(m_fast["loss"]),
+                                   float(m_ref["loss"]), rtol=1e-5,
+                                   err_msg=tag)
+        for a, b in zip(jax.tree_util.tree_leaves(p_fast),
+                        jax.tree_util.tree_leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, err_msg=tag)
 
 
 class TestOverflowGuard:

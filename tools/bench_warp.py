@@ -73,6 +73,12 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--what", nargs="+",
                     default=["fwd", "vjp", "matched"])
+    ap.add_argument("--onehot", action="store_true",
+                    help="use a one-hot (anatomy) volume instead of dense "
+                         "values — exercises the kernels' empty-slab "
+                         "presence skip (the m-hard/f-hard joint branches "
+                         "warp/splat one-hots); 'vjp' then times the "
+                         "standalone adjoint splat of the one-hot")
     args = ap.parse_args()
 
     from deepatlas_tpu.pallas import pallas_grid_sample
@@ -82,19 +88,35 @@ def main():
     c = args.channels
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     key = jax.random.PRNGKey(0)
-    vol = jax.random.uniform(key, (1, d, h, w, c), jnp.float32).astype(dt)
-    labs = jax.random.randint(jax.random.fold_in(key, 1), (1, d, h, w), 0,
-                              c, jnp.int32)
+    # anatomy-like labels: z-dependent shells, a handful of classes per slab
+    zi = jnp.arange(d)[None, :, None, None]
+    labs = ((jax.random.randint(jax.random.fold_in(key, 1), (1, d, h, w),
+                                0, 4) + 4 * (zi // 24)) % c).astype(jnp.int32)
+    if args.onehot:
+        from deepatlas_tpu.ops import one_hot
+        vol = one_hot(labs, c, dtype=jnp.float32).astype(dt)
+    else:
+        vol = jax.random.uniform(key, (1, d, h, w, c),
+                                 jnp.float32).astype(dt)
 
     fwd = jax.jit(lambda v, g: pallas_grid_sample(
         v, g, max_disp=args.max_disp, grad="values"))
 
-    def vjp_fn(v, g):
-        out, pull = jax.vjp(
-            lambda vv: pallas_grid_sample(vv, g, max_disp=args.max_disp,
-                                          grad="values"), v)
-        return pull(out)[0]
-    vjp = jax.jit(vjp_fn)
+    if args.onehot:
+        # the f-hard branch's op: standalone adjoint splat of the one-hot
+        from functools import partial
+
+        from deepatlas_tpu.ops.warp import warp_values_adjoint
+        vjp = jax.jit(lambda v, g: warp_values_adjoint(
+            partial(pallas_grid_sample, max_disp=args.max_disp,
+                    grad="values"), v, g))
+    else:
+        def vjp_fn(v, g):
+            out, pull = jax.vjp(
+                lambda vv: pallas_grid_sample(vv, g, max_disp=args.max_disp,
+                                              grad="values"), v)
+            return pull(out)[0]
+        vjp = jax.jit(vjp_fn)
     matched = jax.jit(lambda lm, lf, g: hard_anatomy_dice(
         lm, lf, g, c, max_disp=args.max_disp))
 
