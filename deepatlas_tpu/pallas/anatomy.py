@@ -35,9 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.warp import clamp_displacement
 from .splat import pallas_splat
-from .warp import (LANE, _bit, _bwd_grid_single, _ceil_to,  # noqa: F401
-                   _default_interpret, _gather_pre, _pad_last, _prep_gather,
-                   _tent, _tile_meta, _vox_coords, _wp_for, _ypad)
+from .warp import (LANE, _SW, _bwd_grid_single, _ceil_to,  # noqa: F401
+                   _default_interpret, _gather_pre, _ldecode, _pad_last,
+                   _prep_gather, _tent, _tile_meta, _vox_coords, _wp_for,
+                   _ypad)
 
 
 # ------------------------------------------------------------- kernels
@@ -64,10 +65,8 @@ def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, meta_ref,
 
     rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)
     ty = gy - rows.astype(jnp.float32)
-    # ranges + per-offset presence from the SMEM meta (warp.py _tile_meta)
-    mask_z, mask_dy = meta_ref[zi, 0], meta_ref[zi, 1]
-    s_lo, s_hi = meta_ref[zi, 2], meta_ref[zi, 3]
-    dy_lo, dy_hi = meta_ref[zi, 4], meta_ref[zi, 5]
+    # packed offset lists from the SMEM meta (warp.py _tile_meta)
+    ns, ndy = meta_ref[zi, 0], meta_ref[zi, 1]
 
     # shared single gather plan (see warp.py _fwd_kernel): v1 at ix1, v0
     # via the one-lane-rolled plane; index prep + masked blend weights
@@ -83,35 +82,28 @@ def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, meta_ref,
 
     cp.wait()
 
-    def z_body(s, acc):
-        def z_work(acc):
-            wz = _tent(gz - s.astype(jnp.float32))
+    def z_body(j1, acc):
+        s = _ldecode(meta_ref, zi, 2, j1)
+        wz = _tent(gz - s.astype(jnp.float32))
 
-            def y_body(dy, acc):
-                def y_work(acc):
-                    y_src = rows + dy
-                    wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
-                                   _tent(ty - dy.astype(jnp.float32)), 0.0)
-                    wzy = wz * wy
-                    k = jnp.mod(hp - (yp + dy), hp)
-                    rolled = pltpu.roll(slab[s].astype(jnp.float32),
-                                        k, 0)[0:h]
-                    v1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape),
-                                     prep)
-                    v0 = _gather_pre(jnp.broadcast_to(
-                        pltpu.roll(rolled, 1, 1), gz.shape), prep)
-                    xv = jnp.where(jnp.abs(v0 - lf) < 0.5, w0m, 0.0) + \
-                        jnp.where(jnp.abs(v1 - lf) < 0.5, w1m, 0.0)
-                    return acc + wzy * xv
+        def y_body(j2, acc):
+            dy = _ldecode(meta_ref, zi, 2 + _SW, j2) - (r + 1)
+            y_src = rows + dy
+            wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
+                           _tent(ty - dy.astype(jnp.float32)), 0.0)
+            wzy = wz * wy
+            k = jnp.mod(hp - (yp + dy), hp)
+            rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
+            v1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape), prep)
+            v0 = _gather_pre(jnp.broadcast_to(
+                pltpu.roll(rolled, 1, 1), gz.shape), prep)
+            xv = jnp.where(jnp.abs(v0 - lf) < 0.5, w0m, 0.0) + \
+                jnp.where(jnp.abs(v1 - lf) < 0.5, w1m, 0.0)
+            return acc + wzy * xv
 
-                return jax.lax.cond(_bit(mask_dy, dy + r + 1) != 0, y_work,
-                                    lambda a: a, acc)
+        return jax.lax.fori_loop(0, ndy, y_body, acc)
 
-            return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, acc)
-
-        return jax.lax.cond(_bit(mask_z, s) != 0, z_work, lambda a: a, acc)
-
-    acc = jax.lax.fori_loop(s_lo, s_hi + 1, z_body,
+    acc = jax.lax.fori_loop(0, ns, z_body,
                             jnp.zeros(gz.shape, jnp.float32))
     out_ref[...] = acc
 
@@ -139,11 +131,9 @@ def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
 
     rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)
     ty = gy - rows.astype(jnp.float32)
-    # ranges + presence from the SMEM meta; the tent-derivative support
-    # equals the tent support, so the same masks are exact here
-    mask_z, mask_dy = meta_ref[zi, 0], meta_ref[zi, 1]
-    s_lo, s_hi = meta_ref[zi, 2], meta_ref[zi, 3]
-    dy_lo, dy_hi = meta_ref[zi, 4], meta_ref[zi, 5]
+    # packed offset lists from the SMEM meta; the tent-derivative support
+    # equals the tent support, so the same lists are exact here
+    ns, ndy = meta_ref[zi, 0], meta_ref[zi, 1]
 
     ix0 = jnp.floor(gx).astype(jnp.int32)
     fx = gx - ix0.astype(jnp.float32)
@@ -155,47 +145,38 @@ def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
 
     cp.wait()
 
-    def z_body(s, accs):
-        def z_work(accs):
-            tz_f = gz - s.astype(jnp.float32)
-            wz = _tent(tz_f)
-            dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
+    def z_body(j1, accs):
+        s = _ldecode(meta_ref, zi, 2, j1)
+        tz_f = gz - s.astype(jnp.float32)
+        wz = _tent(tz_f)
+        dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
 
-            def y_body(dy, accs):
-                def y_work(accs):
-                    az, ay, ax = accs
-                    k = jnp.mod(hp - (yp + dy), hp)
-                    rolled = pltpu.roll(slab[s].astype(jnp.float32),
-                                        k, 0)[0:h]
-                    g1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape),
-                                     prep)
-                    g0 = _gather_pre(jnp.broadcast_to(
-                        pltpu.roll(rolled, 1, 1), gz.shape), prep)
-                    v0 = jnp.where(jnp.abs(g0 - lf) < 0.5, x_ok0f, 0.0)
-                    v1 = jnp.where(jnp.abs(g1 - lf) < 0.5, x_ok1f, 0.0)
-                    xv = fx0 * v0 + fx * v1
-                    dxv = v1 - v0
-                    ty_f = ty - dy.astype(jnp.float32)
-                    y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
-                    wy = jnp.where(y_in, _tent(ty_f), 0.0)
-                    dwy = jnp.where(y_in & (jnp.abs(ty_f) < 1.0),
-                                    -jnp.sign(ty_f), 0.0)
-                    az = az + ct * dwz * wy * xv
-                    ay = ay + ct * wz * dwy * xv
-                    ax = ax + ct * wz * wy * dxv
-                    return az, ay, ax
+        def y_body(j2, accs):
+            dy = _ldecode(meta_ref, zi, 2 + _SW, j2) - (r + 1)
+            az, ay, ax = accs
+            k = jnp.mod(hp - (yp + dy), hp)
+            rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
+            g1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape), prep)
+            g0 = _gather_pre(jnp.broadcast_to(
+                pltpu.roll(rolled, 1, 1), gz.shape), prep)
+            v0 = jnp.where(jnp.abs(g0 - lf) < 0.5, x_ok0f, 0.0)
+            v1 = jnp.where(jnp.abs(g1 - lf) < 0.5, x_ok1f, 0.0)
+            xv = fx0 * v0 + fx * v1
+            dxv = v1 - v0
+            ty_f = ty - dy.astype(jnp.float32)
+            y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
+            wy = jnp.where(y_in, _tent(ty_f), 0.0)
+            dwy = jnp.where(y_in & (jnp.abs(ty_f) < 1.0),
+                            -jnp.sign(ty_f), 0.0)
+            az = az + ct * dwz * wy * xv
+            ay = ay + ct * wz * dwy * xv
+            ax = ax + ct * wz * wy * dxv
+            return az, ay, ax
 
-                return jax.lax.cond(_bit(mask_dy, dy + r + 1) != 0, y_work,
-                                    lambda a: a, accs)
-
-            return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, accs)
-
-        return jax.lax.cond(_bit(mask_z, s) != 0, z_work, lambda a: a,
-                            accs)
+        return jax.lax.fori_loop(0, ndy, y_body, accs)
 
     zero = jnp.zeros(gz.shape, jnp.float32)
-    az, ay, ax = jax.lax.fori_loop(s_lo, s_hi + 1, z_body,
-                                   (zero, zero, zero))
+    az, ay, ax = jax.lax.fori_loop(0, ns, z_body, (zero, zero, zero))
     dgz_ref[...] = az
     dgy_ref[...] = ay
     dgx_ref[...] = ax

@@ -23,25 +23,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .warp import (LANE, _bit, _ceil_to, _floor_presence, _mask_bounds,
-                   _pack_bits, _pad_last, _tent)  # noqa: F401
+from .warp import (LANE, _DW, _ceil_to, _floor_presence, _ldecode,
+                   _pack_list, _pad_last, _tent)
 
 
 def _plane_meta(gz, gy, gx, *, d: int, h: int, w: int, r: int):
-    """Per-receiver-plane SMEM tables for the splat kernel, computed on the
+    """Packed-list SMEM tables for the splat kernel, computed on the
     UNPADDED coordinate fields (in-kernel min/max ranges see zero pad lanes
     that blow them to the full static bound — the dx range was always the
     worst case before this).
 
     Returns ``(plane, src)``:
-      * ``plane`` (d, 8) int32 per receiver plane q:
-        ``[mask_o, mask_dy, mask_dx, dy_lo, dy_hi, dx_lo, dx_hi, 0]`` —
-        bit ``o + r + 1`` of mask_o: some voxel of plane q samples source
-        plane ``q + o`` with nonzero z-tent; bit ``dv + r + 1`` of
-        mask_dy/mask_dx: some voxel needs row/column offset ``dv``; the
-        lo/hi are the masks' set-bit bounds (the kernel's loop ranges).
-      * ``src`` (d, 2) int32 per source plane s: ``[q_lo, q_hi]`` — the
-        receiver-plane span with any z-tent mass toward s (empty: (1, 0)).
+      * ``plane`` (d, 2 + 2 * _DW) int32 per receiver plane q:
+        ``[ndy, ndx, dy-list words, dx-list words]`` — the ascending packed
+        lists (warp.py::_pack_list, 5-bit entries) of row/column offsets
+        ``dv + r + 1`` some voxel of plane q needs with nonzero tent mass.
+      * ``src`` (d, 1 + _DW) int32 per source plane s: ``[nq, o-list
+        words]`` — packed z-offsets ``o = s - q + r + 1`` of the receiver
+        planes q with any z-tent mass toward s.
+    The kernel loops exactly these lists — zero-mass offsets cost nothing,
+    not even a branch.
     """
     nb = 2 * r + 3
     planes = jnp.arange(d, dtype=jnp.float32)[:, None, None]
@@ -50,25 +51,19 @@ def _plane_meta(gz, gy, gx, *, d: int, h: int, w: int, r: int):
     po = _floor_presence(gz - planes, -(r + 1), nb, axes=(1, 2))
     pdy = _floor_presence(rows - gy, -(r + 1), nb, axes=(1, 2))
     pdx = _floor_presence(cols - gx, -(r + 1), nb, axes=(1, 2))
-    dy_lo, dy_hi = _mask_bounds(pdy)
-    dx_lo, dx_hi = _mask_bounds(pdx)
-    zero = jnp.zeros((d,), jnp.int32)
-    plane = jnp.stack([
-        _pack_bits(po), _pack_bits(pdy), _pack_bits(pdx),
-        dy_lo - (r + 1), dy_hi - (r + 1), dx_lo - (r + 1),
-        dx_hi - (r + 1), zero], axis=1).astype(jnp.int32)
+    ndy, dyw = _pack_list(pdy, _DW)
+    ndx, dxw = _pack_list(pdx, _DW)
+    plane = jnp.concatenate([ndy[:, None], ndx[:, None], dyw, dxw],
+                            axis=1).astype(jnp.int32)
 
-    # receivers of source plane s: q = s - o with bit (o + r + 1) set
+    # receivers of source plane s: q = s - o with po[q] o-presence set
     s_arr = jnp.arange(d, dtype=jnp.int32)[:, None]
     o_arr = jnp.arange(nb, dtype=jnp.int32)[None, :] - (r + 1)
     qq = s_arr - o_arr
     ok = (qq >= 0) & (qq < d)
     hit = po[jnp.clip(qq, 0, d - 1), jnp.arange(nb)[None, :]] & ok
-    anyq = jnp.any(hit, axis=1)
-    q_lo = jnp.min(jnp.where(hit, qq, d), axis=1)
-    q_hi = jnp.max(jnp.where(hit, qq, -1), axis=1)
-    src = jnp.stack([jnp.where(anyq, q_lo, 1),
-                     jnp.where(anyq, q_hi, 0)], axis=1).astype(jnp.int32)
+    nq, ow = _pack_list(hit, _DW)
+    src = jnp.concatenate([nq[:, None], ow], axis=1).astype(jnp.int32)
     return plane, src
 
 
@@ -122,90 +117,84 @@ def _splat_work(gz_s, gy_s, gx_s, ct_s, rtent_s, meta_ref, smeta_ref,
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (h, wp), 0)
     cols2 = jax.lax.broadcasted_iota(jnp.int32, (h, wp), 1)
 
-    # all loop ranges and per-offset presence come from the precomputed
-    # SMEM tables (_plane_meta): per receiver plane the offset spreads are
-    # far tighter than the slab's (smooth fields), per-offset bits skip the
-    # mass holes inside the range (saturated bimodal fields), and none of
-    # it costs vector reductions in here — one scalar read per test
+    # all loops iterate the packed offset lists of the precomputed SMEM
+    # tables (_plane_meta): per receiver plane the lists are far tighter
+    # than the slab's ranges (smooth fields) and skip the mass holes inside
+    # the range (saturated bimodal fields), with no per-trip branch and no
+    # in-kernel vector reductions
     for sl in range(tz):
         s_global = t0 + sl
         sf = s_global.astype(jnp.float32)
-        k_lo = jnp.clip(smeta_ref[s_global, 0] - o0, 0, s_out - 1)
-        k_hi = jnp.clip(smeta_ref[s_global, 1] - o0, 0, s_out - 1)
+        nq = smeta_ref[s_global, 0]
 
-        def k_body(k, acc):
-            q = o0 + k
+        def k_body(j0, acc):
+            # receiver plane q = s - o from the packed o-list
+            o = _ldecode(smeta_ref, s_global, 1, j0) - (r + 1)
+            q = s_global - o
+            k = q - o0
+            gzk = gz_s[k]
+            wz = _tent(gzk - sf)
+            f0 = ct_s[k].astype(jnp.float32) * wz
+            if x_pad_lands:
+                f0 = jnp.where(cols2 <= w - 1, f0, 0.0)
+            tyk = gy_s[k] - rows2.astype(jnp.float32)
+            txk = gx_s[k] - cols2.astype(jnp.float32)
+            ndy = meta_ref[q, 0]
+            ndx = meta_ref[q, 1]
 
-            def k_work(acc):
-                gzk = gz_s[k]
-                wz = _tent(gzk - sf)
-                f0 = ct_s[k].astype(jnp.float32) * wz
-                if x_pad_lands:
-                    f0 = jnp.where(cols2 <= w - 1, f0, 0.0)
-                tyk = gy_s[k] - rows2.astype(jnp.float32)
-                txk = gx_s[k] - cols2.astype(jnp.float32)
-                mdy = meta_ref[q, 1]
-                mdx = meta_ref[q, 2]
-                dy_lo, dy_hi = meta_ref[q, 3], meta_ref[q, 4]
-                dx_lo, dx_hi = meta_ref[q, 5], meta_ref[q, 6]
+            # hoist the per-dx work that is invariant across dy: the
+            # x-tent, its -dx lane roll, and the target-column validity
+            # mask, staged once per receiver plane k into rtent_s (rolls
+            # commute with elementwise products, so roll(fy*tent, -dx) =
+            # roll(fy, -dx) * rtent[dx]) — the (dy, dx) inner loop becomes
+            # roll + multiply-add
+            def fill_dx(j, _):
+                dx = _ldecode(meta_ref, q, 2 + _DW, j) - (r + 1)
+                t = _tent(txk + dx.astype(jnp.float32))
+                g = pltpu.roll(t, jnp.mod(-dx, wp), 1)
+                if not x_pad_lands:
+                    # lane j of the rolled plane reads receiver column
+                    # j + dx — mask those outside [0, w)
+                    cols_sh = cols2 + dx
+                    x_ok = (cols_sh >= 0) & (cols_sh <= w - 1)
+                    g = jnp.where(x_ok, g, 0.0)
+                rtent_s[dx + r + 1] = g
+                return 0
 
-                # hoist the per-dx work that is invariant across dy: the
-                # x-tent, its -dx lane roll, and the target-column validity
-                # mask, staged once per receiver plane k into rtent_s
-                # (rolls commute with elementwise products, so
-                # roll(fy*tent, -dx) = roll(fy, -dx) * rtent[dx]) — the
-                # (dy, dx) inner loop becomes roll + multiply-add
-                def fill_dx(dx, _):
-                    def dx_fill(_):
-                        t = _tent(txk + dx.astype(jnp.float32))
-                        g = pltpu.roll(t, jnp.mod(-dx, wp), 1)
-                        if not x_pad_lands:
-                            # lane j of the rolled plane reads receiver
-                            # column j + dx — mask those outside [0, w)
-                            cols_sh = cols2 + dx
-                            x_ok = (cols_sh >= 0) & (cols_sh <= w - 1)
-                            g = jnp.where(x_ok, g, 0.0)
-                        rtent_s[dx + r + 1] = g
-                        return 0
+            jax.lax.fori_loop(0, ndx, fill_dx, 0)
 
-                    return jax.lax.cond(_bit(mdx, dx + r + 1) != 0,
-                                        dx_fill, lambda _: 0, 0)
+            def dy_body(j, acc):
+                dy = _ldecode(meta_ref, q, 2, j) - (r + 1)
+                fy = f0 * _tent(tyk + dy.astype(jnp.float32))
 
-                jax.lax.fori_loop(dx_lo, dx_hi + 1, fill_dx, 0)
+                def dy_work(acc):
+                    # accumulate the x-offsets unshifted in y, then one row
+                    # roll per dy (the row shift commutes with the lane
+                    # work — saves dx_range-1 rolls per dy)
+                    def dx_body(j2, acc_x):
+                        dx = _ldecode(meta_ref, q, 2 + _DW, j2) - (r + 1)
+                        g = pltpu.roll(fy, jnp.mod(-dx, wp), 1)
+                        return acc_x + g * rtent_s[dx + r + 1]
 
-                def dy_body(dy, acc):
-                    def dy_work(acc):
-                        fy = f0 * _tent(tyk + dy.astype(jnp.float32))
+                    acc_x = jax.lax.fori_loop(
+                        0, ndx, dx_body, jnp.zeros((h, wp), jnp.float32))
+                    g2 = pltpu.roll(acc_x, jnp.mod(-dy, h), 0)
+                    rows_sh = rows2 + dy
+                    y_ok = (rows_sh >= 0) & (rows_sh <= h - 1)
+                    return acc + jnp.where(y_ok, g2, 0.0)
 
-                        # accumulate the x-offsets unshifted in y, then one
-                        # row roll per dy (the row shift commutes with the
-                        # lane work — saves dx_range-1 rolls per dy)
-                        def dx_body(dx, acc_x):
-                            def dx_work(acc_x):
-                                g = pltpu.roll(fy, jnp.mod(-dx, wp), 1)
-                                return acc_x + g * rtent_s[dx + r + 1]
+                # ct-aware joint mass check: the packed lists are MARGINAL
+                # (z x y product overshoots), and for one-hot cotangents
+                # the joint mass with ct is far sparser still — one
+                # reduction here skips ndx rolls+madds.  With list-tight
+                # loop bounds the cond count is small (unlike the earlier
+                # per-bit conds at full ranges, which regressed saturated)
+                return jax.lax.cond(jnp.max(jnp.abs(fy)) > 0.0, dy_work,
+                                    lambda a: a, acc)
 
-                            return jax.lax.cond(_bit(mdx, dx + r + 1) != 0,
-                                                dx_work, lambda a: a, acc_x)
+            return jax.lax.fori_loop(0, ndy, dy_body, acc)
 
-                        acc_x = jax.lax.fori_loop(
-                            dx_lo, dx_hi + 1, dx_body,
-                            jnp.zeros((h, wp), jnp.float32))
-                        g2 = pltpu.roll(acc_x, jnp.mod(-dy, h), 0)
-                        rows_sh = rows2 + dy
-                        y_ok = (rows_sh >= 0) & (rows_sh <= h - 1)
-                        return acc + jnp.where(y_ok, g2, 0.0)
-
-                    return jax.lax.cond(_bit(mdy, dy + r + 1) != 0, dy_work,
-                                        lambda a: a, acc)
-
-                return jax.lax.fori_loop(dy_lo, dy_hi + 1, dy_body, acc)
-
-            o_bit = s_global - q + (r + 1)
-            return jax.lax.cond(_bit(meta_ref[q, 0], o_bit) != 0, k_work,
-                                lambda a: a, acc)
-
-        acc = jax.lax.fori_loop(k_lo, k_hi + 1, k_body,
+        acc = jax.lax.fori_loop(0, nq, k_body,
                                 jnp.zeros((h, wp), jnp.float32))
         dvol_ref[0, sl] = acc.astype(dvol_ref.dtype)
 

@@ -191,60 +191,73 @@ def _channel_presence(vol: jnp.ndarray, tz: int, r: int, n_tiles: int,
     return jnp.stack(cols, axis=1).astype(jnp.int32)
 
 
-def _bit(mask, i):
-    """Scalar bit test (int32 mask, traced index) for the SMEM offset
-    masks — replaces whole-plane tent-mass reductions with one scalar-core
-    op per loop trip."""
-    return jax.lax.shift_right_logical(mask, i.astype(jnp.int32)) & 1
-
-
-def _pack_bits(present: jnp.ndarray) -> jnp.ndarray:
-    """(..., nbits<=31) bool -> (...,) int32 bitmask (bit i = [..., i])."""
-    nbits = present.shape[-1]
-    weights = (2 ** jnp.arange(nbits, dtype=jnp.int32))
-    return jnp.sum(present.astype(jnp.int32) * weights, axis=-1,
-                   dtype=jnp.int32)
-
-
-def _mask_bounds(present: jnp.ndarray):
-    """(..., n) bool -> (lo, hi) int32 of first/last set bit; empty masks
-    produce (1, 0) — an empty ``fori_loop`` range."""
-    n = present.shape[-1]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    anyb = jnp.any(present, axis=-1)
-    lo = jnp.min(jnp.where(present, idx, n), axis=-1).astype(jnp.int32)
-    hi = jnp.max(jnp.where(present, idx, -1), axis=-1).astype(jnp.int32)
-    return jnp.where(anyb, lo, 1), jnp.where(anyb, hi, 0)
-
-
 def _floor_presence(t: jnp.ndarray, offsets_lo: int, nbits: int,
                     axes) -> jnp.ndarray:
     """Presence of integer tent offsets: for offset field ``t``, bit ``i``
     (offset ``o = offsets_lo + i``) is set iff ANY element (reduced over
-    ``axes``) has ``|t - o| < 1`` — i.e. ``floor(t) in {o-1, o}``.  The
-    |t-o|=0-with-integer-t edge includes one zero-mass neighbour, which is
-    harmless (tent contributes exactly zero)."""
-    ft = jnp.floor(t).astype(jnp.int32)
-    offs = jnp.arange(offsets_lo - 1, offsets_lo + nbits,
-                      dtype=jnp.int32)          # floor values o-1 .. o_max
-    eq = ft[None] == offs.reshape((-1,) + (1,) * ft.ndim)
-    anyv = jnp.any(eq, axis=tuple(a + 1 for a in axes))
-    return jnp.moveaxis(anyv[:-1] | anyv[1:], 0, -1)
+    ``axes``) has ``|t - o| < 1`` STRICTLY — the exact tent support.  The
+    strict band matters: clamp-saturated fields sit at exactly-integral
+    offsets, where a floor-based {floor, floor+1} rule would mark a
+    zero-mass neighbour bit per axis and multiply the executed product-set
+    combos 4-8x in exactly the saturated regime the masks exist for
+    (measured: saturated C=32 splat regressed 9.4->11.8 s with the floor
+    rule; the strict band recovers it)."""
+    offs = jnp.arange(offsets_lo, offsets_lo + nbits, dtype=jnp.float32)
+    offs = offs.reshape((-1,) + (1,) * t.ndim)
+    hit = (t[None] > offs - 1.0) & (t[None] < offs + 1.0)
+    return jnp.moveaxis(jnp.any(hit, axis=tuple(a + 1 for a in axes)), 0, -1)
+
+
+def _pack_list(present: jnp.ndarray, n_words: int):
+    """Pack the SET indices of a boolean presence vector into 5-bit fields.
+
+    ``present`` is (..., n) with n <= 31; returns ``(count, words)`` where
+    ``words`` is (..., n_words) int32 holding the ascending set indices, six
+    5-bit entries per word.  The kernels loop ``j in [0, count)`` and decode
+    ``(words[j // 6] >> 5*(j % 6)) & 31`` — the loops visit EXACTLY the
+    offsets with tent mass, with no per-trip branch.  (The earlier bitmask
+    design tested a bit per trip inside ``lax.cond``; Mosaic carries the
+    full-plane accumulator through every branch, which measured SLOWER in
+    the saturated regime than the vector mass checks it replaced.)
+    """
+    n = present.shape[-1]
+    assert n <= 6 * n_words and n <= 31
+    idx = jnp.arange(n, dtype=jnp.int32)
+    order = jnp.argsort(~present, axis=-1, stable=True).astype(jnp.int32)
+    count = jnp.sum(present, axis=-1).astype(jnp.int32)
+    vals = jnp.where(idx < count[..., None], order, 0)
+    pad = 6 * n_words - n
+    if pad:
+        vals = jnp.pad(vals, [(0, 0)] * (vals.ndim - 1) + [(0, pad)])
+    vals = vals.reshape(vals.shape[:-1] + (n_words, 6))
+    words = jnp.sum(vals << (5 * jnp.arange(6, dtype=jnp.int32)), axis=-1,
+                    dtype=jnp.int32)
+    return count, words
+
+
+def _ldecode(meta_ref, row, base, j):
+    """Read packed-list entry ``j`` from ``meta_ref[row, base:]`` (SMEM)."""
+    word = meta_ref[row, base + j // 6]
+    return jax.lax.shift_right_logical(word, 5 * (j % 6)) & 31
+
+
+# SMEM row layout of the warp/anatomy tile meta (_tile_meta):
+#   [0] ns   [1] ndy   [2:2+SW] s-list words   [2+SW:2+SW+DW] dy-list words
+_SW = 6   # ceil(max s_planes = tz + 2(r+1) <= 31 entries / 6 per word)
+_DW = 4   # ceil(2r + 3 <= 19 entries / 6)
 
 
 def _tile_meta(gz: jnp.ndarray, gy: jnp.ndarray, *, tz: int, r: int,
                n_tiles: int, d: int) -> jnp.ndarray:
-    """(n_tiles, 6) int32 SMEM table for the warp kernels:
-    ``[mask_z, mask_dy, s_lo, s_hi, dy_lo, dy_hi]`` per output z-tile.
+    """(n_tiles, 2 + _SW + _DW) int32 SMEM table for the warp kernels: the
+    packed lists of source slab planes ``s`` and row offsets ``dy + r + 1``
+    with ANY tent mass in the tile, ascending.
 
-    mask_z bit ``s``: some voxel of the tile's output planes samples source
-    slab plane ``s`` (slab-local) with nonzero z-tent.  mask_dy bit
-    ``dy + r + 1``: some voxel needs source row ``row + dy``.  The bounds
-    are the masks' first/last set bits — the kernels' loop ranges, computed
-    here from the UNPADDED fields (the padded blocks the kernel sees carry
-    zero/edge lanes that would otherwise blow the in-kernel min/max ranges
-    to the full static bound: a measured ~2.5x trip inflation even for
-    smooth fields, worse saturated)."""
+    Computed on the UNPADDED fields — the padded blocks the kernel sees
+    carry zero/edge lanes that would otherwise blow in-kernel min/max
+    ranges to the full static bound (a measured ~2.5x trip inflation even
+    for smooth fields, worse saturated).  The kernels iterate exactly these
+    lists: empty offsets cost nothing, not even a branch."""
     s_planes = tz + 2 * (r + 1)
     rows = jnp.arange(gz.shape[1], dtype=jnp.float32)[None, :, None]
     ty = gy - rows
@@ -255,11 +268,9 @@ def _tile_meta(gz: jnp.ndarray, gy: jnp.ndarray, *, tz: int, r: int,
         s0 = min(max(z0 - (r + 1), 0), max(d - s_planes, 0))
         pz = _floor_presence(gz[blk] - s0, 0, s_planes, axes=(0, 1, 2))
         pdy = _floor_presence(ty[blk], -(r + 1), 2 * r + 3, axes=(0, 1, 2))
-        s_lo, s_hi = _mask_bounds(pz)
-        dy_lo, dy_hi = _mask_bounds(pdy)
-        cols.append(jnp.stack([
-            _pack_bits(pz), _pack_bits(pdy), s_lo, s_hi,
-            dy_lo - (r + 1), dy_hi - (r + 1)]))
+        ns, sw = _pack_list(pz, _SW)
+        ndy, dw = _pack_list(pdy, _DW)
+        cols.append(jnp.concatenate([ns[None], ndy[None], sw, dw]))
     return jnp.stack(cols).astype(jnp.int32)
 
 
@@ -286,14 +297,12 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, pres_ref, meta_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)  # y index
     ty = gy - rows.astype(jnp.float32)                       # y offset field
 
-    # loop ranges + per-offset presence from the precomputed SMEM meta
-    # (_tile_meta): computed on the unpadded fields, so pad lanes cannot
-    # inflate them, and scalar bit tests replace whole-plane tent-mass
-    # reductions for empty (s, dy) combos
-    mask_z = meta_ref[zi, 0]
-    mask_dy = meta_ref[zi, 1]
-    s_lo, s_hi = meta_ref[zi, 2], meta_ref[zi, 3]
-    dy_lo, dy_hi = meta_ref[zi, 4], meta_ref[zi, 5]
+    # packed offset lists from the precomputed SMEM meta (_tile_meta):
+    # computed on the unpadded fields (pad lanes cannot inflate them), and
+    # the loops below visit exactly the offsets with tent mass — no
+    # per-trip branches, no wasted tent-mass reductions
+    ns = meta_ref[zi, 0]
+    ndy = meta_ref[zi, 1]
 
     # x interpolation support (exact): both trilinear taps ride ONE gather
     # plan — v1 at ix1 = clip(ix0+1), v0 from the one-lane-rolled plane at
@@ -310,48 +319,37 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, pres_ref, meta_ref,
 
     cp.wait()
 
-    def z_body(s, acc):
-        def z_work(acc):
-            wz = _tent(gz - s.astype(jnp.float32))
+    def z_body(j1, acc):
+        s = _ldecode(meta_ref, zi, 2, j1)
+        wz = _tent(gz - s.astype(jnp.float32))
 
-            def y_body(dy, acc):
-                def y_work(acc):
-                    y_src = rows + dy
-                    wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
-                                   _tent(ty - dy.astype(jnp.float32)), 0.0)
-                    wzy = wz * wy
-                    # realize the dy row shift as a cyclic roll + aligned
-                    # static slice: unaligned sublane slices of VMEM cannot
-                    # be vector-loaded or gathered from (Mosaic 8-row
-                    # tiling), but tpu.dynamic_rotate takes any shift.
-                    # Wrapped rows carry the zeroed padding and are masked
-                    # by the y-validity weight.
-                    k = jnp.mod(hp - (yp + dy), hp)
-                    # tpu.dynamic_rotate is 32-bit only: cast up first
-                    rolled = pltpu.roll(slab[s].astype(jnp.float32),
-                                        k, 0)[0:h]
-                    v1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape),
-                                     prep)
-                    v0 = _gather_pre(jnp.broadcast_to(
-                        pltpu.roll(rolled, 1, 1), gz.shape), prep)
-                    return acc + wzy * (w0 * v0 + w1 * v1)
+        def y_body(j2, acc):
+            dy = _ldecode(meta_ref, zi, 2 + _SW, j2) - (r + 1)
+            y_src = rows + dy
+            wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
+                           _tent(ty - dy.astype(jnp.float32)), 0.0)
+            wzy = wz * wy
+            # realize the dy row shift as a cyclic roll + aligned static
+            # slice: unaligned sublane slices of VMEM cannot be
+            # vector-loaded or gathered from (Mosaic 8-row tiling), but
+            # tpu.dynamic_rotate takes any shift.  Wrapped rows carry the
+            # zeroed padding and are masked by the y-validity weight.
+            k = jnp.mod(hp - (yp + dy), hp)
+            # tpu.dynamic_rotate is 32-bit only: cast up first
+            rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
+            v1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape), prep)
+            v0 = _gather_pre(jnp.broadcast_to(
+                pltpu.roll(rolled, 1, 1), gz.shape), prep)
+            return acc + wzy * (w0 * v0 + w1 * v1)
 
-                # offsets no voxel's tent touches cost one scalar bit test
-                # (the masks overapproximate joint (s, dy) mass as a
-                # product set — a few zero-mass combos still execute)
-                return jax.lax.cond(_bit(mask_dy, dy + r + 1) != 0,
-                                    y_work, lambda a: a, acc)
-
-            return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, acc)
-
-        return jax.lax.cond(_bit(mask_z, s) != 0, z_work, lambda a: a, acc)
+        return jax.lax.fori_loop(0, ndy, y_body, acc)
 
     # empty-slab skip: zero input planes contribute nothing (linear op) —
     # one-hot channels absent from this slab cost one scalar read
     acc = jnp.zeros(gz.shape, jnp.float32)
     acc = jax.lax.cond(
         pres_ref[ci, zi] != 0,
-        lambda a: jax.lax.fori_loop(s_lo, s_hi + 1, z_body, a),
+        lambda a: jax.lax.fori_loop(0, ns, z_body, a),
         lambda a: a, acc)
     out_ref[...] = acc.astype(out_ref.dtype)[None]
 
@@ -381,14 +379,12 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref, meta_ref,
 
     rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)
     ty = gy - rows.astype(jnp.float32)
-    # precomputed ranges + presence masks (see _tile_meta / _fwd_kernel).
-    # NB the tent DERIVATIVE support equals the tent support (both vanish
-    # at |t| >= 1, dwz/dwy are zero exactly where wz/wy are), so the same
-    # masks are exact for the gradient accumulation
-    mask_z = meta_ref[zi, 0]
-    mask_dy = meta_ref[zi, 1]
-    s_lo, s_hi = meta_ref[zi, 2], meta_ref[zi, 3]
-    dy_lo, dy_hi = meta_ref[zi, 4], meta_ref[zi, 5]
+    # packed offset lists (see _tile_meta / _fwd_kernel).  NB the tent
+    # DERIVATIVE support equals the tent support (both vanish at
+    # |t| >= 1, dwz/dwy are zero exactly where wz/wy are), so the same
+    # lists are exact for the gradient accumulation
+    ns = meta_ref[zi, 0]
+    ndy = meta_ref[zi, 1]
 
     ix0 = jnp.floor(gx).astype(jnp.int32)
     fx = gx - ix0.astype(jnp.float32)
@@ -402,46 +398,38 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref, meta_ref,
 
     cp.wait()
 
-    def z_body(s, accs):
-        def z_work(accs):
-            tz_f = gz - s.astype(jnp.float32)
-            wz = _tent(tz_f)
-            # d tent(t)/dt = -sign(t) on |t|<1, 0 outside
-            dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
+    def z_body(j1, accs):
+        s = _ldecode(meta_ref, zi, 2, j1)
+        tz_f = gz - s.astype(jnp.float32)
+        wz = _tent(tz_f)
+        # d tent(t)/dt = -sign(t) on |t|<1, 0 outside
+        dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
 
-            def y_body(dy, accs):
-                def y_work(accs):
-                    az, ay, ax = accs
-                    k = jnp.mod(hp - (yp + dy), hp)
-                    rolled = pltpu.roll(slab[s].astype(jnp.float32),
-                                        k, 0)[0:h]
-                    v1 = jnp.where(x_ok1, _gather_pre(
-                        jnp.broadcast_to(rolled, gz.shape), prep), 0.0)
-                    v0 = jnp.where(x_ok0, _gather_pre(jnp.broadcast_to(
-                        pltpu.roll(rolled, 1, 1), gz.shape), prep), 0.0)
-                    xv = fx0 * v0 + fx * v1
-                    dxv = v1 - v0
-                    ty_f = ty - dy.astype(jnp.float32)
-                    y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
-                    wy = jnp.where(y_in, _tent(ty_f), 0.0)
-                    dwy = jnp.where(y_in & (jnp.abs(ty_f) < 1.0),
-                                    -jnp.sign(ty_f), 0.0)
-                    az = az + ct * dwz * wy * xv
-                    ay = ay + ct * wz * dwy * xv
-                    ax = ax + ct * wz * wy * dxv
-                    return az, ay, ax
+        def y_body(j2, accs):
+            dy = _ldecode(meta_ref, zi, 2 + _SW, j2) - (r + 1)
+            az, ay, ax = accs
+            k = jnp.mod(hp - (yp + dy), hp)
+            rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
+            v1 = jnp.where(x_ok1, _gather_pre(
+                jnp.broadcast_to(rolled, gz.shape), prep), 0.0)
+            v0 = jnp.where(x_ok0, _gather_pre(jnp.broadcast_to(
+                pltpu.roll(rolled, 1, 1), gz.shape), prep), 0.0)
+            xv = fx0 * v0 + fx * v1
+            dxv = v1 - v0
+            ty_f = ty - dy.astype(jnp.float32)
+            y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
+            wy = jnp.where(y_in, _tent(ty_f), 0.0)
+            dwy = jnp.where(y_in & (jnp.abs(ty_f) < 1.0),
+                            -jnp.sign(ty_f), 0.0)
+            az = az + ct * dwz * wy * xv
+            ay = ay + ct * wz * dwy * xv
+            ax = ax + ct * wz * wy * dxv
+            return az, ay, ax
 
-                return jax.lax.cond(_bit(mask_dy, dy + r + 1) != 0,
-                                    y_work, lambda a: a, accs)
-
-            return jax.lax.fori_loop(dy_lo, dy_hi + 1, y_body, accs)
-
-        return jax.lax.cond(_bit(mask_z, s) != 0, z_work, lambda a: a,
-                            accs)
+        return jax.lax.fori_loop(0, ndy, y_body, accs)
 
     zero = jnp.zeros(gz.shape, jnp.float32)
-    az, ay, ax = jax.lax.fori_loop(s_lo, s_hi + 1, z_body,
-                                   (zero, zero, zero))
+    az, ay, ax = jax.lax.fori_loop(0, ns, z_body, (zero, zero, zero))
     # dgrid sums over channels; the channel axis is the fastest-varying
     # grid dim so the output block stays resident across the accumulation
     @pl.when(ci == 0)

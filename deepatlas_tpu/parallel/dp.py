@@ -21,6 +21,7 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from ..metrics.confusion import confusion_matrix, dice_from_confusion
+from ..train.reg_steps import _BN_MOMENTUM
 from ..train.steps import TrainState, _apply_model
 
 
@@ -252,12 +253,15 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
 
         if two_pass:
             def soft_branch(_):
-                # constant fixed-branch probabilities for pass A (train=True
-                # batch statistics, mutations discarded)
-                f_logits_const, _ = _apply_model(seg_state, seg_state.params,
-                                                 fixed, train=True)
+                # fixed-branch forward ONCE via jax.vjp (see reg_steps.py
+                # soft_branch): value feeds pass A's constant, pullback
+                # closes pass B — 2 forwards + 2 backwards per shard.  No
+                # collectives inside.
+                (f_logits, new_bn_f), pull_f = jax.vjp(
+                    lambda p: _apply_model(seg_state, p, fixed, train=True),
+                    seg_state.params)
                 f_probs_const = jax.lax.stop_gradient(
-                    branch_probs(f_logits_const, f_has, onehot_f))
+                    branch_probs(f_logits, f_has, onehot_f))
 
                 def loss_a(params):
                     logits_m, new_bn = _apply_model(seg_state, params,
@@ -279,20 +283,25 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
                 grads_a, warped_const = jax.lax.optimization_barrier(
                     (grads_a, jax.lax.stop_gradient(warped_m)))
 
-                def loss_b(params):
-                    logits_f, new_bn2 = _apply_model(
-                        seg_state.replace(batch_stats=new_bn), params,
-                        fixed, train=True)
+                def head_b(logits_f):
                     f_probs = branch_probs(logits_f, f_has, onehot_f)
                     anat_b = _soft_dice(warped_const, f_probs)
                     sup_f = sup_loss(logits_f.astype(jnp.float32),
                                      fixed_seg.astype(jnp.int32))
                     loss = anatomy_weight * anat_b \
                         + supervised_weight * sup_f * wf
-                    return loss, (new_bn2, sup_f)
+                    return loss, sup_f
 
-                (_, (new_bn2, sup_f)), grads_b = jax.value_and_grad(
-                    loss_b, has_aux=True)(seg_state.params)
+                (_, sup_f), ct_logits = jax.value_and_grad(
+                    head_b, has_aux=True)(f_logits)
+                grads_b, = pull_f((ct_logits,
+                                   jax.tree_util.tree_map(jnp.zeros_like,
+                                                          new_bn_f)))
+                # closed-form fixed-branch stat composition (reg_steps.py)
+                new_bn2 = jax.tree_util.tree_map(
+                    lambda bm, bf, o: (_BN_MOMENTUM * bm + bf
+                                       - _BN_MOMENTUM * o),
+                    new_bn, new_bn_f, seg_state.batch_stats)
                 grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
                 return grads, new_bn2, anat, sup_m, sup_f
 

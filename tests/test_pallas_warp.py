@@ -306,3 +306,15 @@ class TestPresenceSkip:
         assert pres[0].sum() == 0 and pres[2].sum() == 0
         # slab windows reaching plane 23: tiles whose [s0, s0+12) cover it
         assert pres[1, -1] == 1 and pres[1, 0] == 0
+
+    def test_offset_presence_strict_band(self):
+        """Exactly-integral offsets (clamp-saturated plateaus) must mark ONE
+        bit, not a zero-mass neighbour too — the neighbour bit multiplied
+        the saturated product-set combos 4-8x (measured regression)."""
+        from deepatlas_tpu.pallas.warp import _floor_presence
+        t = jnp.full((2, 3, 4), 3.0)
+        p = np.asarray(_floor_presence(t, 0, 8, axes=(0, 1, 2)))
+        assert p[3] and p.sum() == 1
+        t2 = jnp.full((2, 3, 4), 3.5)
+        p2 = np.asarray(_floor_presence(t2, 0, 8, axes=(0, 1, 2)))
+        assert p2[3] and p2[4] and p2.sum() == 2

@@ -181,13 +181,20 @@ def test_joint_seg_two_pass_matches_single_pass(rng):
                                tx=make_optimizer(1e-3))
         step = make_joint_seg_step(sup, 1.0, 1.0, nc, two_pass=two_pass)
         ss2, metrics = step(ss, rs, moving, fixed, mseg, fseg, has, has)
-        results.append((ss2.params, metrics))
+        results.append((ss2.params, ss2.batch_stats, metrics))
 
-    (p_single, m_single), (p_two, m_two) = results
+    (p_single, bn_single, m_single), (p_two, bn_two, m_two) = results
     np.testing.assert_allclose(float(m_single["loss"]),
                                float(m_two["loss"]), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p_single),
                     jax.tree_util.tree_leaves(p_two)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # BatchNorm running stats must match too — the two-pass soft branch
+    # reuses ONE fixed-branch forward (jax.vjp) and composes its stat
+    # update in closed form with the flax momentum (reg_steps.py
+    # _BN_MOMENTUM); a wrong composition shows up exactly here
+    for a, b in zip(jax.tree_util.tree_leaves(bn_single),
+                    jax.tree_util.tree_leaves(bn_two)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
