@@ -31,7 +31,9 @@ def _dice_factory(**kw):
                    weight_type=kw.get("weight_type", "Simple"),
                    no_bg=kw.get("no_bg", False),
                    softmax=kw.get("softmax", False),
-                   eps=kw.get("eps", 1e-7))
+                   eps=kw.get("eps", 1e-7),
+                   axis_name=kw.get("axis_name"),
+                   batch_axis_name=kw.get("batch_axis_name"))
 
 
 def _lncc_factory(**kw):

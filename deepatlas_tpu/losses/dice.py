@@ -25,9 +25,11 @@ _SPATIAL = (1, 2, 3)  # reduce over D, H, W directly — a channel-last
 
 
 def _class_weights(target_volume: jnp.ndarray, weight_type: str,
-                   eps: float) -> jnp.ndarray:
+                   eps: float,
+                   batch_axis_name: str | None = None) -> jnp.ndarray:
     """Per-(batch, class) weights, normalized by the global max
-    (loss.py:452-468)."""
+    (loss.py:452-468).  With the batch sharded over ``batch_axis_name``
+    the normalizing max spans every element (pmax)."""
     if weight_type == "Simple":
         weights = 1.0 / (target_volume ** (1.0 / 3.0) + eps)
     elif weight_type == "Volume":
@@ -40,20 +42,36 @@ def _class_weights(target_volume: jnp.ndarray, weight_type: str,
         weights = jnp.ones_like(target_volume)
     else:
         raise ValueError(f"Class weighting type {weight_type!r} does not exist!")
-    return weights / jnp.max(weights)
+    wmax = jnp.max(weights)
+    if batch_axis_name is not None:
+        wmax = jax.lax.pmax(wmax, batch_axis_name)
+    return weights / wmax
 
 
 def dice_loss_multiclass(source: jnp.ndarray, target: jnp.ndarray,
                          n_class: int, weight_type: str = "Simple",
                          no_bg: bool = False, softmax: bool = False,
-                         eps: float = 1e-7) -> jnp.ndarray:
+                         eps: float = 1e-7,
+                         axis_name: str | None = None,
+                         batch_axis_name: str | None = None) -> jnp.ndarray:
     """Multi-class soft dice loss.
 
     Args:
       source: ``(B, D, H, W, C)`` logits (softmax=True) or probabilities.
-      target: ``(B, D, H, W)`` integer mask, or ``(B, D, H, W, C)``
+      target: ``(B, D, H, W)`` integer mask, or ``(B, D, H, W)``-sharded
+        blocks of them inside ``shard_map``; or ``(B, D, H, W, C)``
         probabilities / one-hot.
       n_class: number of classes (C).
+      axis_name: when the volumes' D axis is sharded over a mesh axis
+        (parallel/spatial.py), pass its name — the per-(batch, class)
+        volume/intersection sums are ``psum``-reduced over it before the
+        weights and scores, making the sharded loss exactly the global
+        one (softmax is channel-local, so it needs nothing).
+      batch_axis_name: when the BATCH is additionally sharded (DP x SP),
+        pass that axis — the per-(batch, class) sums stay shard-local
+        (each shard owns different elements), while the weight normalizer
+        (pmax) and the final weighted score reduction (psum of numerator
+        and denominator) span every element, reproducing the global loss.
     """
     if softmax:
         source = jax.nn.softmax(source, axis=-1)
@@ -72,12 +90,19 @@ def dice_loss_multiclass(source: jnp.ndarray, target: jnp.ndarray,
 
     source_volume = src.sum(axis=_SPATIAL, dtype=jnp.float32)
     target_volume = tgt.sum(axis=_SPATIAL, dtype=jnp.float32)
-    weights = _class_weights(target_volume, weight_type, eps)
-
     intersection = (src * tgt).sum(axis=_SPATIAL, dtype=jnp.float32)
+    if axis_name is not None:
+        source_volume, target_volume, intersection = jax.lax.psum(
+            (source_volume, target_volume, intersection), axis_name)
+    weights = _class_weights(target_volume, weight_type, eps,
+                             batch_axis_name)
     scores = (2.0 * intersection + eps) / (source_volume + target_volume
                                            + 2.0 * eps)
-    return 1.0 - jnp.sum(weights * scores) / jnp.sum(weights)
+    num = jnp.sum(weights * scores)
+    den = jnp.sum(weights)
+    if batch_axis_name is not None:
+        num, den = jax.lax.psum((num, den), batch_axis_name)
+    return 1.0 - num / den
 
 
 def dice_loss_on_label(source: jnp.ndarray, target: jnp.ndarray,

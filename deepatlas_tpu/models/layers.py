@@ -39,6 +39,12 @@ class ConvBlock(nn.Module):
 
     ``dtype`` is the compute dtype (params stay float32): bfloat16 feeds the
     MXU at full rate and halves activation memory on TPU.
+
+    ``spatial_axis``: mesh-axis name when the input's D dimension is sharded
+    over devices (parallel/spatial.py).  The conv then reads ``padding``
+    neighbour planes via halo exchange (ops/halo.py) and pads D VALID —
+    exactly the unsharded SAME conv — and BatchNorm reduces its batch
+    moments over the axis so statistics match the unsharded model.
     """
     features: int
     kernel_size: int = 3
@@ -49,19 +55,32 @@ class ConvBlock(nn.Module):
     act: str = "ReLU"
     residual: bool = False
     dtype: Any = None
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        d_pad = (self.padding, self.padding)
+        if self.spatial_axis is not None:
+            if self.stride != 1 or self.kernel_size != 2 * self.padding + 1:
+                raise ValueError(
+                    "spatial sharding supports stride-1 k=2p+1 convs; got "
+                    f"k={self.kernel_size} s={self.stride} p={self.padding}")
+            from ..ops.halo import halo_exchange_d
+            x = halo_exchange_d(x, self.spatial_axis, self.padding)
+            d_pad = (0, 0)
         y = nn.Conv(self.features, (self.kernel_size,) * 3,
                     strides=(self.stride,) * 3,
-                    padding=[(self.padding, self.padding)] * 3,
+                    padding=[d_pad] + [(self.padding, self.padding)] * 2,
                     use_bias=self.use_bias, dtype=self.dtype,
                     kernel_init=conv_kernel_init)(x)
         if self.batchnorm:
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype)(y)
+                             epsilon=1e-5, dtype=self.dtype,
+                             axis_name=self.spatial_axis)(y)
         y = get_activation(self.act)(y)
         if self.residual:
+            if self.spatial_axis is not None:
+                x = x[:, self.padding:x.shape[1] - self.padding]
             y = y + x
         return y
 
@@ -71,6 +90,9 @@ class DeconvBlock(nn.Module):
 
     With kernel==stride (the k2 s2 upsampler used throughout, unets.py:240-241)
     there is no output overlap and this matches torch ConvTranspose3d exactly.
+    That also makes it shard-local under depth sharding (every output plane
+    depends on exactly one input plane), so ``spatial_axis`` only routes the
+    BatchNorm moment reduction.
     """
     features: int
     kernel_size: int = 2
@@ -79,9 +101,14 @@ class DeconvBlock(nn.Module):
     batchnorm: bool = False
     act: str = "ReLU"
     dtype: Any = None
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.spatial_axis is not None and self.kernel_size != self.stride:
+            raise ValueError(
+                "spatial sharding requires kernel == stride deconvs "
+                f"(shard-local); got k={self.kernel_size} s={self.stride}")
         y = nn.ConvTranspose(self.features, (self.kernel_size,) * 3,
                              strides=(self.stride,) * 3,
                              padding="VALID",
@@ -90,7 +117,8 @@ class DeconvBlock(nn.Module):
                              kernel_init=conv_kernel_init)(x)
         if self.batchnorm:
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype)(y)
+                             epsilon=1e-5, dtype=self.dtype,
+                             axis_name=self.spatial_axis)(y)
         y = get_activation(self.act)(y)
         return y
 

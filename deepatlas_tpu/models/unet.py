@@ -112,9 +112,20 @@ class UNetTemplate(nn.Module):
     packed: bool = False
     packed_levels: int = 2
     interpret: Any = None               # Pallas interpret override (tests)
+    # depth sharding: mesh-axis name when the input volume's D axis is
+    # sharded over devices (parallel/spatial.py).  Convs halo-exchange
+    # their boundary planes, BatchNorm moments psum over the axis, pool /
+    # k2s2 deconv / 1x1x1 head are shard-local — the sharded forward is
+    # numerically the unsharded one.
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.spatial_axis is not None and (self.packed or self.upsample):
+            raise ValueError(
+                "spatial_axis is not supported with packed execution or "
+                "trilinear upsampling yet (cross-shard interpolation); use "
+                "the XLA conv path with deconv upsamplers")
         if self.packed:
             return self._packed_call(x, train)
         CB = _maybe_remat(ConvBlock, self.remat)
@@ -137,8 +148,8 @@ class UNetTemplate(nn.Module):
             chain = enc_plan if i == 0 else enc_plan[1:]
             for features in chain:
                 h = CB(features, 3, 1, 1, use_bias=self.bias,
-                       batchnorm=self.BN, act=self.act,
-                       dtype=self.dtype)(h, train)
+                       batchnorm=self.BN, act=self.act, dtype=self.dtype,
+                       spatial_axis=self.spatial_axis)(h, train)
             if self.res:
                 h = h + x
             if i < levels - 1:
@@ -161,14 +172,14 @@ class UNetTemplate(nn.Module):
                 x = trilinear_resize(x, up_shape, align_corners=False)
             else:
                 x = DB(dec_plan[0], 2, 2, use_bias=self.bias,
-                       batchnorm=self.BN, act=self.act,
-                       dtype=self.dtype)(x, train)
+                       batchnorm=self.BN, act=self.act, dtype=self.dtype,
+                       spatial_axis=self.spatial_axis)(x, train)
             skip = skips.pop()
             h = jnp.concatenate([x, skip], axis=-1)
             for features in dec_plan[1:]:
                 h = CB(features, 3, 1, 1, use_bias=self.bias,
-                       batchnorm=self.BN, act=self.act,
-                       dtype=self.dtype)(h, train)
+                       batchnorm=self.BN, act=self.act, dtype=self.dtype,
+                       spatial_axis=self.spatial_axis)(h, train)
             if self.res:
                 h = h + x
             x = h

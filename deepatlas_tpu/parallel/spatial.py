@@ -1,0 +1,145 @@
+"""Spatial (depth-sharded) parallelism: one volume across a mesh axis.
+
+Shards the volume's D axis over devices so whole-volume training scales
+past one chip's HBM — the TPU-native alternative to the reference's only
+memory lever, border cropping + patch training (lib/transforms.py:124-158,
+322-494), which trades away whole-volume context.  Mechanics:
+
+  * convolutions read neighbour boundary planes via halo exchange
+    (ops/halo.py::halo_exchange_d, ``ppermute`` over ICI) and pad D VALID —
+    numerically the unsharded SAME conv (models/layers.py spatial_axis);
+  * max-pool, kernel==stride deconvs and the 1x1x1 head are shard-local;
+  * BatchNorm moments and the dice loss's per-(batch, class) sums psum
+    over the axis (losses/dice.py axis_name), so loss, gradients and BN
+    statistics are exactly the single-device values;
+  * per-shard gradient partials combine with pmean after the backward
+    (see the in-code note on psum's transpose under check_vma=False).
+
+Constraints (checked at trace time): the PER-SHARD depth must satisfy the
+U-Net's divisibility rule (D divisible by n_shards * 2^(levels-1)) and
+stay >= 1 plane at the deepest level; the model must run the XLA conv path
+(``packed=False``) with deconv upsamplers.  Composes with data parallelism
+on an (data, space) mesh: batch shards over ``data``, depth over
+``space`` — ``make_spatial_seg_step`` accepts any mesh containing the
+named spatial axis and psums metrics over both axes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+try:  # jax >= 0.8 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.steps import TrainState, _apply_model
+
+
+def shard_volume_batch(batch, mesh: Mesh, axis: str = "space",
+                       data_axis: str | None = None):
+    """Device-put arrays with D sharded over ``axis`` (and optionally batch
+    over ``data_axis``).  Works for (B, D, H, W[, C]) arrays."""
+    def put(x):
+        spec = [None] * x.ndim
+        spec[1] = axis
+        if data_axis is not None:
+            spec[0] = data_axis
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def _spatial_model(model, axis: str):
+    """The same flax module with ``spatial_axis`` set (dataclass replace)."""
+    if getattr(model, "spatial_axis", "missing") == "missing":
+        raise ValueError(
+            f"{type(model).__name__} has no spatial_axis support; spatial "
+            f"sharding currently covers UNetTemplate-family models")
+    return dataclasses.replace(model, spatial_axis=axis)
+
+
+def make_spatial_seg_step(model, criterion_factory: Callable, n_class: int,
+                          mesh: Mesh, axis: str = "space",
+                          data_axis: str | None = None,
+                          criterion_kwargs: dict | None = None):
+    """Jitted supervised seg train step on depth-sharded volumes.
+
+    Args:
+      model: a ``UNetTemplate``-family module (``packed=False``).
+      criterion_factory: ``get_loss_function("dice")``-style factory taking
+        keyword args incl. ``axis_name`` (losses/__init__.py).
+      mesh: mesh containing ``axis`` (and ``data_axis`` if given).
+      data_axis: optional batch-sharding axis for DP x SP execution.
+
+    Returns ``step(state, images, labels) -> (state, loss, logits)`` with
+    ``images (B, D, H, W, C)`` / ``labels (B, D, H, W)`` sharded by
+    ``shard_volume_batch``; semantics match train/steps.py's
+    ``make_seg_train_step`` exactly (loss, grads, BN stats).
+    """
+    kw = dict(criterion_kwargs or {})
+    # the spatial axis reduces the per-(batch, class) SUMS; the data axis
+    # (different batch elements per shard) reduces only the final weighted
+    # score combination + the weight normalizer (losses/dice.py)
+    loss_axes = (axis,) if data_axis is None else (axis, data_axis)
+    criterion = criterion_factory(n_class=n_class, axis_name=axis,
+                                  batch_axis_name=data_axis, **kw)
+    sp_model = _spatial_model(model, axis)
+
+    vol_spec = (P(None, axis) if data_axis is None
+                else P(data_axis, axis))
+    state_spec = P()  # params/opt replicated
+
+    def _local_step(state: TrainState, images, labels):
+        def loss_fn(params):
+            st = state.replace(apply_fn=sp_model.apply)
+            logits, new_bn = _apply_model(st, params, images, train=True)
+            loss = criterion(logits.astype(jnp.float32), labels)
+            return loss, (new_bn, logits)
+
+        (loss, (new_bn, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        # combining the per-shard partials: under shard_map WITHOUT
+        # replication tracking (check_vma=False) the transpose of the
+        # loss's psum is another psum, so every shard's backward already
+        # carries an n-fold cotangent — the per-shard grads sum to
+        # n * grad, and pmean (NOT psum) recovers the exact single-device
+        # gradient (verified leaf-for-leaf in tests/test_spatial.py).
+        # BN stats come out identical on every shard (flax axis_name
+        # moment reduction) — no extra handling.
+        grads = jax.lax.pmean(grads, loss_axes)
+        state = state.apply_gradients(grads, new_bn)
+        return state, loss, logits
+
+    sharded = shard_map(
+        _local_step, mesh=mesh,
+        in_specs=(state_spec, vol_spec, vol_spec),
+        out_specs=(state_spec, P(), vol_spec),
+        check_vma=False)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, images, labels):
+        return sharded(state, images, labels)
+
+    return step
+
+
+def make_spatial_seg_forward(model, mesh: Mesh, axis: str = "space",
+                             data_axis: str | None = None):
+    """Jitted depth-sharded inference forward: ``(state, images) -> logits``
+    (logits come back as a global array sharded like the input)."""
+    sp_model = _spatial_model(model, axis)
+    vol_spec = (P(None, axis) if data_axis is None
+                else P(data_axis, axis))
+
+    def _fwd(state: TrainState, images):
+        st = state.replace(apply_fn=sp_model.apply)
+        logits, _ = _apply_model(st, state.params, images, train=False)
+        return logits
+
+    sharded = shard_map(_fwd, mesh=mesh, in_specs=(P(), vol_spec),
+                        out_specs=vol_spec, check_vma=False)
+    return jax.jit(sharded)

