@@ -39,6 +39,7 @@ class UNet(nn.Module):
     BN: bool = False
     dtype: Any = None
     remat: bool = False
+    spatial_axis: Any = None            # depth sharding (parallel/spatial.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -47,15 +48,18 @@ class UNet(nn.Module):
 
         def enc(features, h):
             return CB(features, 3, 1, 1, use_bias=self.bias,
-                      batchnorm=self.BN, act="ReLU", dtype=self.dtype)(h, train)
+                      batchnorm=self.BN, act="ReLU", dtype=self.dtype,
+                      spatial_axis=self.spatial_axis)(h, train)
 
         def dec_conv(features, h):
             return CB(features, 3, 1, 1, use_bias=self.bias,
-                      batchnorm=self.BN, act="ReLU", dtype=self.dtype)(h, train)
+                      batchnorm=self.BN, act="ReLU", dtype=self.dtype,
+                      spatial_axis=self.spatial_axis)(h, train)
 
         def dec_up(features, h):
             return DB(features, 2, 2, use_bias=self.bias,
-                      batchnorm=self.BN, act="ReLU", dtype=self.dtype)(h, train)
+                      batchnorm=self.BN, act="ReLU", dtype=self.dtype,
+                      spatial_axis=self.spatial_axis)(h, train)
 
         e0 = enc(32, x)
         syn0 = enc(64, e0)

@@ -153,3 +153,18 @@ def test_spatial_rejects_packed_and_upsample():
                                      decoders=((4, 4, 4),), in_channel=1,
                                      n_classes=3), x)
         fwd(st, shard_volume_batch(x, mesh))
+
+
+def test_spatial_fixed_unet_forward(rng):
+    """The fixed UNet (3 pools, unets.py:70-179) also runs depth-sharded."""
+    from deepatlas_tpu.models import UNet
+
+    model = UNet(in_channel=1, n_classes=2, bias=True, BN=False)
+    x = jnp.asarray(rng.rand(1, 32, 8, 8, 1).astype(np.float32))
+    state = make_state(model, x)
+    ref = model.apply({"params": state.params}, x, train=False)
+
+    mesh = space_mesh(4)
+    fwd = make_spatial_seg_forward(model, mesh)
+    out = fwd(state, shard_volume_batch(x, mesh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
