@@ -38,7 +38,8 @@ def _dice_factory(**kw):
 
 def _lncc_factory(**kw):
     return partial(lncc_loss, filter_size=kw.get("filter_size", 9),
-                   eps=kw.get("eps", 1e-6))
+                   eps=kw.get("eps", 1e-6),
+                   axis_name=kw.get("axis_name"))
 
 
 def _ncc_factory(**kw):
@@ -58,7 +59,8 @@ def _gradient_factory(**kw):
 def _bending_factory(**kw):
     return partial(bending_energy_loss, norm=kw.get("norm", "L2"),
                    spacing=kw.get("spacing", (1.0, 1.0, 1.0)),
-                   normalize=kw.get("normalize", True))
+                   normalize=kw.get("normalize", True),
+                   axis_name=kw.get("axis_name"))
 
 
 def _l2_factory(**kw):

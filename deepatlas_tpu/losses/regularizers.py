@@ -57,40 +57,74 @@ def gradient_loss(field: jnp.ndarray, norm: str = "L2",
 
 def bending_energy_loss(field: jnp.ndarray, norm: str = "L2",
                         spacing: Sequence[float] = (1.0, 1.0, 1.0),
-                        normalize: bool = True) -> jnp.ndarray:
+                        normalize: bool = True,
+                        axis_name: str | None = None) -> jnp.ndarray:
     """Second-order bending-energy penalty (3 diagonal + 3 cross second
     derivatives, spacing-normalized; loss.py:687-730).
+
+    ``axis_name``: when the field's D axis is depth-sharded over a mesh
+    axis (parallel/spatial.py), the second differences read one halo plane
+    from the neighbours; global-edge planes (which the unsharded version
+    crops) are masked out, and the interior means psum over the axis —
+    the sharded loss equals the single-device one exactly.
     """
     sp = _prep_spacing(spacing, normalize)
-    dims = _spatial_dims(field, normalize)
     b = field.shape[0]
     c = field.shape[-1]
-    f = field
+    if axis_name is None:
+        dims = _spatial_dims(field, normalize)
+        f = field
+        mask = None
+        d_glob = field.shape[1]
+    else:
+        import jax
+
+        from ..ops.halo import halo_exchange_d
+        n = jax.lax.axis_size(axis_name)
+        idx = jax.lax.axis_index(axis_name)
+        d_loc, h, w = field.shape[1:4]
+        d_glob = d_loc * n
+        dims = jnp.asarray((d_glob, h, w), dtype=jnp.float32)
+        if normalize:
+            dims = dims / dims.min()
+        f = halo_exchange_d(field, axis_name, 1)
+        g = idx * d_loc + jnp.arange(d_loc)
+        mask = ((g >= 1) & (g <= d_glob - 2)).astype(
+            jnp.float32)[None, :, None, None, None]
     inner = f[:, 1:-1, 1:-1, 1:-1, :]
 
-    def flat(x):
-        return x.reshape(b, -1, c)
+    def term(x):
+        # masked interior mean over (D-2, H-2, W-2) global voxels -> (b, c)
+        if mask is None:
+            return (x ** 2 if norm == "L2" else jnp.abs(x)).reshape(
+                b, -1, c).mean(axis=1)
+        v = (x ** 2 if norm == "L2" else jnp.abs(x)) * mask
+        s = jnp.sum(v, axis=(1, 2, 3))
+        import jax
+        s = jax.lax.psum(s, axis_name)
+        cnt = (d_glob - 2) * (x.shape[2]) * (x.shape[3])
+        return s / cnt
 
-    dd0 = flat(jnp.abs(f[:, 2:, 1:-1, 1:-1, :] + f[:, :-2, 1:-1, 1:-1, :]
+    dd0 = term(jnp.abs(f[:, 2:, 1:-1, 1:-1, :] + f[:, :-2, 1:-1, 1:-1, :]
                        - 2 * inner))
-    dd1 = flat(jnp.abs(f[:, 1:-1, 2:, 1:-1, :] + f[:, 1:-1, :-2, 1:-1, :]
+    dd1 = term(jnp.abs(f[:, 1:-1, 2:, 1:-1, :] + f[:, 1:-1, :-2, 1:-1, :]
                        - 2 * inner))
-    dd2 = flat(jnp.abs(f[:, 1:-1, 1:-1, 2:, :] + f[:, 1:-1, 1:-1, :-2, :]
+    dd2 = term(jnp.abs(f[:, 1:-1, 1:-1, 2:, :] + f[:, 1:-1, 1:-1, :-2, :]
                        - 2 * inner))
-    d01 = flat(jnp.abs(f[:, 2:, 2:, 1:-1, :] + f[:, :-2, :-2, 1:-1, :]
+    d01 = term(jnp.abs(f[:, 2:, 2:, 1:-1, :] + f[:, :-2, :-2, 1:-1, :]
                        - f[:, 2:, :-2, 1:-1, :] - f[:, :-2, 2:, 1:-1, :]))
-    d12 = flat(jnp.abs(f[:, 1:-1, 2:, 2:, :] + f[:, 1:-1, :-2, :-2, :]
+    d12 = term(jnp.abs(f[:, 1:-1, 2:, 2:, :] + f[:, 1:-1, :-2, :-2, :]
                        - f[:, 1:-1, 2:, :-2, :] - f[:, 1:-1, :-2, 2:, :]))
-    d02 = flat(jnp.abs(f[:, 2:, 1:-1, 2:, :] + f[:, :-2, 1:-1, :-2, :]
+    d02 = term(jnp.abs(f[:, 2:, 1:-1, 2:, :] + f[:, :-2, 1:-1, :-2, :]
                        - f[:, 2:, 1:-1, :-2, :] - f[:, :-2, 1:-1, 2:, :]))
 
     if norm == "L2":
-        dd0 = (dd0 ** 2).mean(axis=1) * (dims * sp / sp[0] ** 2) ** 2
-        dd1 = (dd1 ** 2).mean(axis=1) * (dims * sp / sp[1] ** 2) ** 2
-        dd2 = (dd2 ** 2).mean(axis=1) * (dims * sp / sp[2] ** 2) ** 2
-        d01 = (d01 ** 2).mean(axis=1) * (dims * sp / (sp[0] * sp[1])) ** 2
-        d12 = (d12 ** 2).mean(axis=1) * (dims * sp / (sp[1] * sp[2])) ** 2
-        d02 = (d02 ** 2).mean(axis=1) * (dims * sp / (sp[2] * sp[0])) ** 2
+        dd0 = dd0 * (dims * sp / sp[0] ** 2) ** 2
+        dd1 = dd1 * (dims * sp / sp[1] ** 2) ** 2
+        dd2 = dd2 * (dims * sp / sp[2] ** 2) ** 2
+        d01 = d01 * (dims * sp / (sp[0] * sp[1])) ** 2
+        d12 = d12 * (dims * sp / (sp[1] * sp[2])) ** 2
+        d02 = d02 * (dims * sp / (sp[2] * sp[0])) ** 2
 
     return (dd0.mean() + dd1.mean() + dd2.mean()
             + 2 * d01.mean() + 2 * d12.mean() + 2 * d02.mean()) / 9.0

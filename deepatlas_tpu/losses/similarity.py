@@ -60,14 +60,44 @@ def _lncc_cc(i_img: jnp.ndarray, j_img: jnp.ndarray, window, stride, dilation,
 
 
 def lncc_loss(input: jnp.ndarray, target: jnp.ndarray, filter_size: int = 9,
-              eps: float = 1e-6) -> jnp.ndarray:
+              eps: float = 1e-6,
+              axis_name: str | None = None) -> jnp.ndarray:
     """VoxelMorph windowed LNCC: 1 - mean local CC² over valid windows.
 
     Args:
       input, target: ``(B, D, H, W, C)`` volumes (C normally 1).
+      axis_name: when D is depth-sharded over a mesh axis
+        (parallel/spatial.py), windows near shard boundaries read a
+        ``filter_size // 2``-plane halo from the neighbours; global-edge
+        windows keep their zero padding (the halos there are zero), and
+        the final mean is a pmean over equal-size shards — exactly the
+        single-device loss.
     """
-    cc = _lncc_cc(input, target, filter_size, 1, 1, eps)
-    return 1.0 - jnp.mean(cc)
+    if axis_name is None:
+        cc = _lncc_cc(input, target, filter_size, 1, 1, eps)
+        return 1.0 - jnp.mean(cc)
+    import jax
+
+    from ..ops.halo import halo_exchange_d
+    k = filter_size
+    hp = k // 2
+    b, d_loc = input.shape[:2]
+    n = jax.lax.axis_size(axis_name)
+    d = d_loc * n
+    idx = jax.lax.axis_index(axis_name)
+    ih = halo_exchange_d(input, axis_name, hp)
+    jh = halo_exchange_d(target, axis_name, hp)
+    # window sums are VALID: the halo'd frame yields d_loc window starts at
+    # global positions [z0 - hp, z0 + d_loc - hp) — the shards tile all
+    # starts exactly once; mask the out-of-volume ones (2*hp per volume)
+    # and divide by the static global valid count
+    cc = _lncc_cc(ih, jh, k, 1, 1, eps)
+    g = idx * d_loc - hp + jnp.arange(cc.shape[1])
+    mask = ((g >= 0) & (g <= d - k)).astype(cc.dtype)[None, :, None, None,
+                                                      None]
+    total = b * (d - k + 1) * cc.shape[2] * cc.shape[3] * cc.shape[4]
+    s = jax.lax.psum(jnp.sum(cc * mask), axis_name)
+    return 1.0 - s / total
 
 
 def multiscale_lncc_schedule(img_shape: Sequence[int]):

@@ -61,10 +61,24 @@ class ConvBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d_pad = (self.padding, self.padding)
         if self.spatial_axis is not None:
-            if self.stride != 1 or self.kernel_size != 2 * self.padding + 1:
+            # stride 1: k=2p+1 halo reproduces SAME padding exactly.
+            # stride 2 (k3 p1, the VoxelMorph encoder): global output plane
+            # g reads inputs [2g-1, 2g+1]; with even shard depth the shard
+            # boundary falls on an even global index, so one halo plane +
+            # VALID depth is exactly the unsharded conv (each shard's first
+            # window starts at its left halo plane).
+            ok = (self.stride == 1 and self.kernel_size == 2 * self.padding
+                  + 1) or (self.stride == 2 and self.kernel_size == 3
+                           and self.padding == 1)
+            if not ok:
                 raise ValueError(
-                    "spatial sharding supports stride-1 k=2p+1 convs; got "
+                    "spatial sharding supports stride-1 k=2p+1 and "
+                    "stride-2 k3 p1 convs; got "
                     f"k={self.kernel_size} s={self.stride} p={self.padding}")
+            if self.stride == 2 and x.shape[1] % 2:
+                raise ValueError(
+                    f"stride-2 spatial conv needs even shard depth, got "
+                    f"{x.shape[1]} — use fewer shards or pad D")
             from ..ops.halo import halo_exchange_d
             x = halo_exchange_d(x, self.spatial_axis, self.padding)
             d_pad = (0, 0)

@@ -48,6 +48,12 @@ class VoxelMorphCVPR2018(nn.Module):
     # regime (fields of a few voxels, voxel_morph.py:88) from an untrained
     # net, and matches the integer-scaling knob common to VoxelMorph forks.
     flow_scale: float = 1.0
+    # depth sharding (parallel/spatial.py): stride-1/-2 convs halo-exchange
+    # boundary planes, the nearest 2x upsamples and flow head are handled
+    # locally, the identity grid is the GLOBAL one sliced per shard, and
+    # the spatial transformer warps through a max_disp+1-plane halo with
+    # the clamp-bounded semantics (ops/halo.py::spatial_grid_sample).
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, source: jnp.ndarray, target: jnp.ndarray,
@@ -61,12 +67,27 @@ class VoxelMorphCVPR2018(nn.Module):
           (disp_field, warped_source, deform_field) — fields are
           ``(B, D, H, W, 3)``, warped_source matches source's shape.
         """
+        if self.spatial_axis is not None and (self.packed
+                                              or self.use_pallas_warp):
+            raise ValueError(
+                "spatial_axis currently requires the XLA trunk and warp "
+                "(packed=False, use_pallas_warp=False); the spatial warp "
+                "is clamp-bounded at max_disp like the Pallas path")
         if self.packed:
             disp_field = self._packed_trunk(source, target, train)
         else:
             disp_field = self._xla_trunk(source, target, train)
         if self.flow_scale != 1.0:
             disp_field = disp_field * jnp.float32(self.flow_scale)
+
+        if self.spatial_axis is not None:
+            from ..ops.halo import shard_identity_grid, spatial_grid_sample
+            deform_field = disp_field + shard_identity_grid(
+                source.shape, self.spatial_axis, dtype=disp_field.dtype)
+            warped_source = spatial_grid_sample(
+                source.astype(jnp.float32), deform_field,
+                self.spatial_axis, max_disp=self.max_disp)
+            return disp_field, warped_source, deform_field
 
         deform_field = disp_field + identity_grid_batch(
             source.shape, dtype=disp_field.dtype)
@@ -86,7 +107,8 @@ class VoxelMorphCVPR2018(nn.Module):
 
         def conv(features, h, stride=1):
             return CB(features, 3, stride, 1, use_bias=True,
-                      batchnorm=False, act="ReLU", dtype=self.dtype)(h, train)
+                      batchnorm=False, act="ReLU", dtype=self.dtype,
+                      spatial_axis=self.spatial_axis)(h, train)
 
         x = jnp.concatenate([source, target], axis=-1)
         encs = []
@@ -105,10 +127,18 @@ class VoxelMorphCVPR2018(nn.Module):
         d4 = conv(self.dec_filters[3], jnp.concatenate([d3, e2], axis=-1))
         d5 = conv(self.dec_filters[4], nearest_resize(d4, e1.shape[1:4]))
 
+        head_in = jnp.concatenate([d5, e1], axis=-1)
+        d_pad = (1, 1)
+        if self.spatial_axis is not None:
+            # same halo treatment as ConvBlock, inlined to keep the flow
+            # head's parameter path ('Conv_0') checkpoint-compatible
+            from ..ops.halo import halo_exchange_d
+            head_in = halo_exchange_d(head_in, self.spatial_axis, 1)
+            d_pad = (0, 0)
         disp_field = nn.Conv(self.output_channel, (3, 3, 3), strides=(1, 1, 1),
-                             padding=[(1, 1)] * 3, use_bias=True,
+                             padding=[d_pad, (1, 1), (1, 1)], use_bias=True,
                              dtype=self.dtype, kernel_init=conv_kernel_init)(
-            jnp.concatenate([d5, e1], axis=-1))
+            head_in)
         # the warp/deform math stays in f32: bf16 displacement quantizes
         # voxel coordinates too coarsely for sub-voxel registration
         return disp_field.astype(jnp.float32)

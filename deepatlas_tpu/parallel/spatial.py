@@ -127,6 +127,54 @@ def make_spatial_seg_step(model, criterion_factory: Callable, n_class: int,
     return step
 
 
+def make_spatial_reg_step(model, sim_factory: Callable,
+                          reg_factory: Callable, reg_weight: float,
+                          mesh: Mesh, axis: str = "space",
+                          sim_kwargs: dict | None = None,
+                          reg_kwargs: dict | None = None):
+    """Jitted registration train step on depth-sharded volume pairs.
+
+    ``model`` is a ``VoxelMorphCVPR2018`` (XLA trunk); the step mirrors
+    train/reg_steps.py::make_reg_train_step: LNCC similarity on the
+    halo-exchanged spatial warp output + bending/gradient regularizer on
+    the displacement field, both computed with their ``axis_name`` spatial
+    reductions (losses/similarity.py, losses/regularizers.py) so the
+    sharded loss and gradients equal the single-device clamp-bounded step.
+    """
+    sim_loss = sim_factory(axis_name=axis, **(sim_kwargs or {}))
+    reg_loss = reg_factory(axis_name=axis, **(reg_kwargs or {}))
+    sp_model = _spatial_model(model, axis)
+    vol_spec = P(None, axis)
+
+    def _local_step(state: TrainState, moving, fixed):
+        def loss_fn(params):
+            disp, warped, deform = sp_model.apply({"params": params},
+                                                  moving, fixed, train=True)
+            sim = sim_loss(warped.astype(jnp.float32),
+                           fixed.astype(jnp.float32))
+            reg = reg_loss(disp.astype(jnp.float32))
+            return sim + reg_weight * reg, (sim, reg)
+
+        (loss, (sim, reg)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        # pmean, not psum: see make_spatial_seg_step on psum's transpose
+        grads = jax.lax.pmean(grads, axis)
+        state = state.apply_gradients(grads)
+        return state, {"loss": loss, "sim": sim, "reg": reg}
+
+    sharded = shard_map(
+        _local_step, mesh=mesh,
+        in_specs=(P(), vol_spec, vol_spec),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, moving, fixed):
+        return sharded(state, moving, fixed)
+
+    return step
+
+
 def make_spatial_seg_forward(model, mesh: Mesh, axis: str = "space",
                              data_axis: str | None = None):
     """Jitted depth-sharded inference forward: ``(state, images) -> logits``

@@ -168,3 +168,128 @@ def test_spatial_fixed_unet_forward(rng):
     fwd = make_spatial_seg_forward(model, mesh)
     out = fwd(state, shard_volume_batch(x, mesh))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def _shardmap_scalar(fn, mesh, *args):
+    """Run a loss fn under shard_map with D-sharded inputs; returns scalar."""
+    from functools import partial
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    wrapped = shard_map(fn, mesh=mesh,
+                        in_specs=tuple(P(None, "space") for _ in args),
+                        out_specs=P(), check_vma=False)
+    return jax.jit(wrapped)(*args)
+
+
+def test_spatial_lncc_matches_global(rng):
+    from deepatlas_tpu.losses import lncc_loss
+
+    mesh = space_mesh(4)
+    a = jnp.asarray(rng.rand(1, 32, 12, 12, 1).astype(np.float32))
+    b = jnp.asarray(rng.rand(1, 32, 12, 12, 1).astype(np.float32))
+    ref = float(lncc_loss(a, b, filter_size=9))
+    got = float(_shardmap_scalar(
+        lambda x, y: lncc_loss(x, y, filter_size=9, axis_name="space"),
+        mesh, a, b))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+@pytest.mark.parametrize("norm", ["L2", "L1"])
+def test_spatial_bending_matches_global(rng, norm):
+    from deepatlas_tpu.losses import bending_energy_loss
+
+    mesh = space_mesh(4)
+    f = jnp.asarray(rng.randn(1, 32, 10, 12, 3).astype(np.float32))
+    ref = float(bending_energy_loss(f, norm=norm))
+    got = float(_shardmap_scalar(
+        lambda x: bending_energy_loss(x, norm=norm, axis_name="space"),
+        mesh, f))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_spatial_voxelmorph_forward_matches_single(rng):
+    """Depth-sharded VoxelMorph: stride-2 halo convs, local nearest
+    upsampling, global-aware identity, halo'ed spatial-transformer warp."""
+    from functools import partial
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    import dataclasses
+
+    from deepatlas_tpu.models import VoxelMorphCVPR2018
+
+    # D = 64 = 4 shards x 16: four stride-2 halvings keep every shard
+    # depth even (the stride-2 halo conv requires it)
+    model = VoxelMorphCVPR2018(enc_filters=(4, 8, 8, 8, 8),
+                               dec_filters=(8, 8, 8, 4, 4),
+                               flow_scale=0.1)
+    mov = jnp.asarray(rng.rand(1, 64, 16, 16, 1).astype(np.float32))
+    fix = jnp.asarray(rng.rand(1, 64, 16, 16, 1).astype(np.float32))
+    sv = model.init(jax.random.PRNGKey(0), mov, fix)
+    disp_r, warped_r, deform_r = model.apply(sv, mov, fix, train=False)
+
+    mesh = space_mesh(4)
+    sp = dataclasses.replace(model, spatial_axis="space")
+    fn = shard_map(
+        lambda m, f: sp.apply(sv, m, f, train=False), mesh=mesh,
+        in_specs=(P(None, "space"), P(None, "space")),
+        out_specs=(P(None, "space"),) * 3, check_vma=False)
+    disp_s, warped_s, deform_s = jax.jit(fn)(mov, fix)
+
+    np.testing.assert_allclose(np.asarray(disp_s), np.asarray(disp_r),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(deform_s), np.asarray(deform_r),
+                               atol=2e-5)
+    # |disp| stays far below max_disp (flow_scale=0.1), so the spatial
+    # warp's clamp is inactive and the exact XLA warp is the reference
+    np.testing.assert_allclose(np.asarray(warped_s), np.asarray(warped_r),
+                               atol=1e-4)
+
+
+def test_spatial_reg_step_matches_single(rng):
+    from deepatlas_tpu.losses import (_bending_factory,
+                                      _lncc_factory)  # type: ignore
+    from deepatlas_tpu.models import VoxelMorphCVPR2018
+    from deepatlas_tpu.parallel.spatial import make_spatial_reg_step
+    from deepatlas_tpu.train.reg_steps import make_reg_train_step
+
+    model = VoxelMorphCVPR2018(enc_filters=(4, 8, 8, 8, 8),
+                               dec_filters=(8, 8, 8, 4, 4),
+                               flow_scale=0.1)
+    mov = jnp.asarray(rng.rand(1, 64, 16, 16, 1).astype(np.float32))
+    fix = jnp.asarray(rng.rand(1, 64, 16, 16, 1).astype(np.float32))
+
+    def fresh():
+        sv = model.init(jax.random.PRNGKey(0), mov, fix)
+        return TrainState.create(apply_fn=model.apply, params=sv["params"],
+                                 batch_stats={}, tx=make_optimizer(1e-3))
+
+    sim = _lncc_factory(filter_size=9)
+    reg = _bending_factory()
+    sr, m_ref = make_reg_train_step(sim, reg, reg_weight=0.5)(fresh(), mov,
+                                                              fix)
+
+    mesh = space_mesh(4)
+    sp_step = make_spatial_reg_step(model, _lncc_factory, _bending_factory,
+                                    reg_weight=0.5, mesh=mesh,
+                                    sim_kwargs=dict(filter_size=9))
+    ms, fs = shard_volume_batch((mov, fix), mesh)
+    ss, m_sp = sp_step(fresh(), ms, fs)
+
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_sp["sim"]), float(m_ref["sim"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_sp["reg"]), float(m_ref["reg"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ss.params),
+                    jax.tree_util.tree_leaves(sr.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
