@@ -175,6 +175,186 @@ def make_spatial_reg_step(model, sim_factory: Callable,
     return step
 
 
+def _spatial_soft_dice(src_probs, tgt_probs, axis: str,
+                       eps: float = 1e-5) -> jnp.ndarray:
+    """The joint anatomy soft dice (train/reg_steps.py::_soft_dice) with
+    its per-(batch, class) sums psum'd over the depth shards — foreground
+    channels only, f32 accumulation, identical value on every shard."""
+    inter = jnp.sum(src_probs[..., 1:] * tgt_probs[..., 1:], axis=(1, 2, 3),
+                    dtype=jnp.float32)
+    den = jnp.sum(src_probs[..., 1:], axis=(1, 2, 3), dtype=jnp.float32) + \
+        jnp.sum(tgt_probs[..., 1:], axis=(1, 2, 3), dtype=jnp.float32)
+    inter = jax.lax.psum(inter, axis)
+    den = jax.lax.psum(den, axis)
+    return 1.0 - jnp.mean(2.0 * inter / (den + eps))
+
+
+def _shard_overflow(deform, max_disp: int, axis: str) -> jnp.ndarray:
+    """ops.warp.displacement_overflow for a depth-sharded deformation: the
+    identity is the global one sliced per shard, the fraction pmeans over
+    equal-size shards."""
+    from ..ops.halo import shard_identity_grid
+    b, d_loc, h, w = deform.shape[:4]
+    disp = deform.astype(jnp.float32) - shard_identity_grid(deform.shape,
+                                                            axis)
+    n = jax.lax.axis_size(axis)
+    scale = jnp.array([(w - 1) / 2.0, (h - 1) / 2.0, (d_loc * n - 1) / 2.0],
+                      jnp.float32)
+    over = jnp.any(jnp.abs(disp) * scale > max_disp, axis=-1)
+    return jax.lax.pmean(jnp.mean(over.astype(jnp.float32)), axis)
+
+
+def make_spatial_joint_steps(seg_model, reg_model, sim_factory: Callable,
+                             reg_factory: Callable,
+                             supervised_factory: Callable, n_class: int,
+                             reg_weight: float, anatomy_weight: float,
+                             supervised_weight: float, mesh: Mesh,
+                             axis: str = "space", max_disp: int = 8,
+                             sim_kwargs: dict | None = None,
+                             reg_kwargs: dict | None = None,
+                             supervised_kwargs: dict | None = None):
+    """Depth-sharded joint DeepAtlas steps: ``(joint_reg_step,
+    joint_seg_step)`` mirroring train/reg_steps.py's
+    ``make_joint_reg_step`` / ``make_joint_seg_step`` (soft path) on a
+    spatial mesh axis — whole-volume semi-supervised joint training past
+    one chip's HBM.
+
+    Both steps run the XLA trunks (``packed=False``) with the halo'ed
+    spatial warp (ops/halo.py::spatial_grid_sample, clamp-bounded at
+    ``max_disp`` like the single-device Pallas path); anatomy dice sums,
+    LNCC/bending reductions, supervised dice sums and BatchNorm moments
+    all reduce over ``axis``, so losses/gradients/BN stats equal the
+    single-device soft-path steps (pinned in tests/test_spatial.py).
+
+    Signatures match the single-device steps:
+      joint_reg_step(reg_state, seg_state, moving, fixed, moving_seg,
+                     fixed_seg, moving_has_label, fixed_has_label)
+      joint_seg_step(seg_state, reg_state, ...same...)
+    with volumes depth-sharded by ``shard_volume_batch`` and label flags
+    replicated ``(B,)`` bools.
+    """
+    from ..ops import one_hot
+    from ..ops.halo import spatial_grid_sample
+
+    sim_loss = sim_factory(axis_name=axis, **(sim_kwargs or {}))
+    reg_loss = reg_factory(axis_name=axis, **(reg_kwargs or {}))
+    supervised = supervised_factory(n_class=n_class, axis_name=axis,
+                                    **(supervised_kwargs or {}))
+    sp_seg = _spatial_model(seg_model, axis)
+    sp_reg = _spatial_model(reg_model, axis)
+    vol_spec = P(None, axis)
+
+    def _labels(seg_state, moving, fixed, moving_seg, fixed_seg, m_has,
+                f_has):
+        """Frozen-seg-net label substitution (reg phase): ground truth
+        where it exists, the argmax prediction elsewhere."""
+        st = seg_state.replace(apply_fn=sp_seg.apply)
+        logits_m, _ = _apply_model(st, seg_state.params, moving, train=False)
+        logits_f, _ = _apply_model(st, seg_state.params, fixed, train=False)
+        lab_m = jnp.where(m_has[:, None, None, None],
+                          moving_seg.astype(jnp.int32),
+                          jnp.argmax(logits_m, axis=-1).astype(jnp.int32))
+        lab_f = jnp.where(f_has[:, None, None, None],
+                          fixed_seg.astype(jnp.int32),
+                          jnp.argmax(logits_f, axis=-1).astype(jnp.int32))
+        return lab_m, lab_f
+
+    def _reg_local(reg_state, seg_state, moving, fixed, moving_seg,
+                   fixed_seg, m_has, f_has):
+        lab_m, lab_f = _labels(seg_state, moving, fixed, moving_seg,
+                               fixed_seg, m_has, f_has)
+        onehot_m = one_hot(lab_m, n_class, dtype=jnp.float32)
+        onehot_f = one_hot(lab_f, n_class, dtype=jnp.float32)
+
+        def loss_fn(params):
+            disp, warped, deform = sp_reg.apply({"params": params}, moving,
+                                                fixed, train=True)
+            sim = sim_loss(warped.astype(jnp.float32),
+                           fixed.astype(jnp.float32))
+            reg = reg_loss(disp.astype(jnp.float32))
+            warped_m = spatial_grid_sample(onehot_m, deform, axis,
+                                           max_disp=max_disp)
+            anat = _spatial_soft_dice(warped_m, onehot_f, axis)
+            return sim + reg_weight * reg + anatomy_weight * anat, \
+                (sim, reg, anat, deform)
+
+        (loss, (sim, reg, anat, deform)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(reg_state.params)
+        grads = jax.lax.pmean(grads, axis)
+        reg_state = reg_state.apply_gradients(grads)
+        return reg_state, {
+            "loss": loss, "sim": sim, "reg": reg, "anatomy": anat,
+            "disp_overflow": _shard_overflow(
+                jax.lax.stop_gradient(deform), max_disp, axis)}
+
+    def _seg_local(seg_state, reg_state, moving, fixed, moving_seg,
+                   fixed_seg, m_has, f_has):
+        disp, warped, deform = sp_reg.apply({"params": reg_state.params},
+                                            moving, fixed, train=False)
+        deform = jax.lax.stop_gradient(deform)
+        onehot_m = one_hot(moving_seg.astype(jnp.int32), n_class,
+                           dtype=jnp.float32)
+        onehot_f = one_hot(fixed_seg.astype(jnp.int32), n_class,
+                           dtype=jnp.float32)
+        any_m = jnp.any(m_has).astype(jnp.float32)
+        any_f = jnp.any(f_has).astype(jnp.float32)
+        sup_norm = jnp.maximum(any_m + any_f, 1.0)
+        st = seg_state.replace(apply_fn=sp_seg.apply)
+
+        def loss_fn(params):
+            logits_m, new_bn = _apply_model(st, params, moving, train=True)
+            logits_f, new_bn2 = _apply_model(
+                st.replace(batch_stats=new_bn), params, fixed, train=True)
+            m_probs = jnp.where(
+                m_has[:, None, None, None, None], onehot_m,
+                jax.nn.softmax(logits_m.astype(jnp.float32), axis=-1))
+            f_probs = jnp.where(
+                f_has[:, None, None, None, None], onehot_f,
+                jax.nn.softmax(logits_f.astype(jnp.float32), axis=-1))
+            warped_m = spatial_grid_sample(m_probs, deform, axis,
+                                           max_disp=max_disp)
+            anat = _spatial_soft_dice(warped_m, f_probs, axis)
+            sup_m = supervised(logits_m.astype(jnp.float32),
+                               moving_seg.astype(jnp.int32))
+            sup_f = supervised(logits_f.astype(jnp.float32),
+                               fixed_seg.astype(jnp.int32))
+            sup = (sup_m * any_m + sup_f * any_f) / sup_norm
+            return anatomy_weight * anat + supervised_weight * sup, \
+                (new_bn2, anat, sup)
+
+        (loss, (new_bn, anat, sup)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(seg_state.params)
+        grads = jax.lax.pmean(grads, axis)
+        seg_state = seg_state.apply_gradients(grads, new_bn)
+        return seg_state, {"loss": loss, "anatomy": anat, "supervised": sup}
+
+    flag_spec = P()
+    reg_sharded = shard_map(
+        _reg_local, mesh=mesh,
+        in_specs=(P(), P(), vol_spec, vol_spec, vol_spec, vol_spec,
+                  flag_spec, flag_spec),
+        out_specs=(P(), P()), check_vma=False)
+    seg_sharded = shard_map(
+        _seg_local, mesh=mesh,
+        in_specs=(P(), P(), vol_spec, vol_spec, vol_spec, vol_spec,
+                  flag_spec, flag_spec),
+        out_specs=(P(), P()), check_vma=False)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def joint_reg_step(reg_state, seg_state, moving, fixed, moving_seg,
+                       fixed_seg, moving_has_label, fixed_has_label):
+        return reg_sharded(reg_state, seg_state, moving, fixed, moving_seg,
+                           fixed_seg, moving_has_label, fixed_has_label)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def joint_seg_step(seg_state, reg_state, moving, fixed, moving_seg,
+                       fixed_seg, moving_has_label, fixed_has_label):
+        return seg_sharded(seg_state, reg_state, moving, fixed, moving_seg,
+                           fixed_seg, moving_has_label, fixed_has_label)
+
+    return joint_reg_step, joint_seg_step
+
+
 def make_spatial_seg_forward(model, mesh: Mesh, axis: str = "space",
                              data_axis: str | None = None):
     """Jitted depth-sharded inference forward: ``(state, images) -> logits``

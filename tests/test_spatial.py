@@ -293,3 +293,86 @@ def test_spatial_reg_step_matches_single(rng):
     for a, b in zip(jax.tree_util.tree_leaves(ss.params),
                     jax.tree_util.tree_leaves(sr.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_spatial_joint_steps_match_single(rng):
+    """Depth-sharded joint DeepAtlas reg + seg (soft-path) steps equal the
+    single-device ones on a mixed-label pair (moving labeled, fixed not —
+    the frozen-net substitution and the soft anatomy both engage)."""
+    from deepatlas_tpu.losses import (_bending_factory, _dice_factory,
+                                      _lncc_factory)  # type: ignore
+    from deepatlas_tpu.models import VoxelMorphCVPR2018
+    from deepatlas_tpu.parallel.spatial import make_spatial_joint_steps
+    from deepatlas_tpu.train.reg_steps import (make_joint_reg_step,
+                                               make_joint_seg_step)
+
+    n_class = 3
+    seg_model = UNetTemplate(encoders=((2, 4), (4, 4)), decoders=((4, 4, 4),),
+                             in_channel=1, n_classes=n_class, bias=False,
+                             BN=True, act="LeakyReLU")
+    reg_model = VoxelMorphCVPR2018(enc_filters=(4, 8, 8, 8, 8),
+                                   dec_filters=(8, 8, 8, 4, 4),
+                                   flow_scale=0.1)
+    mov = jnp.asarray(rng.rand(1, 64, 16, 16, 1).astype(np.float32))
+    fix = jnp.asarray(rng.rand(1, 64, 16, 16, 1).astype(np.float32))
+    mseg = jnp.asarray(rng.randint(0, n_class, (1, 64, 16, 16)), jnp.int32)
+    fseg = jnp.asarray(rng.randint(0, n_class, (1, 64, 16, 16)), jnp.int32)
+    m_has = jnp.asarray([True])
+    f_has = jnp.asarray([False])
+
+    def fresh(model, *xs):
+        # SGD, not Adam: the spatial warp's local-frame coordinate
+        # round-trip can flip the trilinear floor at (measure-zero)
+        # near-integer coordinates — an O(eps) value change but a different
+        # subgradient choice, which Adam normalizes up to lr-scale steps on
+        # near-zero-gradient leaves; SGD keeps the comparison meaningful
+        import optax
+        sv = model.init(jax.random.PRNGKey(0), *xs, train=False)
+        return TrainState.create(apply_fn=model.apply, params=sv["params"],
+                                 batch_stats=sv.get("batch_stats", {}),
+                                 tx=optax.sgd(1e-2))
+
+    sup_kw = dict(weight_type="Uniform", softmax=True, eps=1e-6)
+    sim = _lncc_factory(filter_size=9)
+    breg = _bending_factory()
+    sup = _dice_factory(n_class=n_class, **sup_kw)
+    ref_reg_step = make_joint_reg_step(sim, breg, reg_weight=0.5,
+                                       anatomy_weight=0.3, n_class=n_class)
+    ref_seg_step = make_joint_seg_step(sup, anatomy_weight=0.3,
+                                       supervised_weight=1.0,
+                                       n_class=n_class, two_pass=False)
+    rs_ref, rm_ref = ref_reg_step(fresh(reg_model, mov, fix),
+                                  fresh(seg_model, mov), mov, fix, mseg,
+                                  fseg, m_has, f_has)
+    ss_ref, sm_ref = ref_seg_step(fresh(seg_model, mov),
+                                  fresh(reg_model, mov, fix), mov, fix,
+                                  mseg, fseg, m_has, f_has)
+
+    mesh = space_mesh(4)
+    sp_reg_step, sp_seg_step = make_spatial_joint_steps(
+        seg_model, reg_model, _lncc_factory, _bending_factory,
+        _dice_factory, n_class=n_class, reg_weight=0.5, anatomy_weight=0.3,
+        supervised_weight=1.0, mesh=mesh,
+        sim_kwargs=dict(filter_size=9), supervised_kwargs=sup_kw)
+    shards = shard_volume_batch((mov, fix, mseg, fseg), mesh)
+    rs_sp, rm_sp = sp_reg_step(fresh(reg_model, mov, fix),
+                               fresh(seg_model, mov), *shards, m_has, f_has)
+    ss_sp, sm_sp = sp_seg_step(fresh(seg_model, mov),
+                               fresh(reg_model, mov, fix), *shards, m_has,
+                               f_has)
+
+    for k in ("loss", "sim", "reg", "anatomy"):
+        np.testing.assert_allclose(float(rm_sp[k]), float(rm_ref[k]),
+                                   rtol=2e-5, err_msg=f"reg metric {k}")
+    for k in ("loss", "anatomy", "supervised"):
+        np.testing.assert_allclose(float(sm_sp[k]), float(sm_ref[k]),
+                                   rtol=2e-5, err_msg=f"seg metric {k}")
+    for a, b in zip(jax.tree_util.tree_leaves(rs_sp.params),
+                    jax.tree_util.tree_leaves(rs_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ss_sp.params),
+                    jax.tree_util.tree_leaves(ss_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ss_sp.batch_stats),
+                    jax.tree_util.tree_leaves(ss_ref.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
