@@ -168,3 +168,18 @@ def test_transfer_utility_and_deeper_packing(rng, pl_levels):
     ref = std_model.apply(std_vars, x, train=False)
     out = pk_model.apply(pk_vars, x, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_packed_channel_constraint_error():
+    """A hand-built non-power-of-two channel pair fails with the clear
+    lane-packing error (pallas/conv3d.py::choose_w_blk) rather than a
+    shape crash deep inside Mosaic — the shipped plans avoid it by padding
+    (models/packed.py::effective_cout), so only direct kernel use can hit
+    it."""
+    from deepatlas_tpu.pallas.conv3d import choose_w_blk
+
+    with pytest.raises(ValueError, match="powers of two.*pad channels"):
+        choose_w_blk(24, 32)
+    with pytest.raises(ValueError, match="powers of two"):
+        choose_w_blk(16, 48)
+    assert choose_w_blk(16, 32) == 8
