@@ -15,12 +15,13 @@ from .dp import (make_dp_seg_train_step, make_dp_seg_eval_step,
                  make_dp_confusion_eval_step, make_dp_reg_train_step,
                  make_dp_joint_steps, shard_batch, replicate)
 from .spatial import (make_spatial_joint_steps, make_spatial_reg_step,
-                      make_spatial_seg_forward, make_spatial_seg_step,
-                      shard_volume_batch)
+                      make_spatial_seg_eval_step, make_spatial_seg_forward,
+                      make_spatial_seg_step, shard_volume_batch)
 
 __all__ = ["make_mesh", "local_device_count", "make_dp_seg_train_step",
            "make_dp_seg_eval_step", "make_dp_confusion_eval_step",
            "make_dp_reg_train_step", "make_dp_joint_steps", "shard_batch",
            "replicate", "make_spatial_joint_steps", "make_spatial_reg_step",
+           "make_spatial_seg_eval_step",
            "make_spatial_seg_forward", "make_spatial_seg_step",
            "shard_volume_batch"]

@@ -355,6 +355,35 @@ def make_spatial_joint_steps(seg_model, reg_model, sim_factory: Callable,
     return joint_reg_step, joint_seg_step
 
 
+def make_spatial_seg_eval_step(model, n_class: int, mesh: Mesh,
+                               axis: str = "space"):
+    """Jitted depth-sharded eval step: ``(state, images, labels) ->
+    (per_class_dice, logits)`` matching train/steps.py's
+    ``make_seg_eval_step`` — the per-class confusion counts are additive
+    over voxels, so local counts psum over the shards and the dice is the
+    single-device value."""
+    from ..metrics.confusion import confusion_matrix, dice_from_confusion
+
+    sp_model = _spatial_model(model, axis)
+    vol_spec = P(None, axis)
+
+    def _eval(state: TrainState, images, labels):
+        st = state.replace(apply_fn=sp_model.apply)
+        logits, _ = _apply_model(st, state.params, images, train=False)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        cms = jax.vmap(
+            lambda p, t: confusion_matrix(p, t, n_class))(
+                preds, labels.astype(jnp.int32))
+        cms = jax.lax.psum(cms, axis)
+        dice = jax.vmap(lambda cm: dice_from_confusion(cm, 1e-11)[1:])(cms)
+        return dice, logits
+
+    sharded = shard_map(_eval, mesh=mesh,
+                        in_specs=(P(), vol_spec, vol_spec),
+                        out_specs=(P(), vol_spec), check_vma=False)
+    return jax.jit(sharded)
+
+
 def make_spatial_seg_forward(model, mesh: Mesh, axis: str = "space",
                              data_axis: str | None = None):
     """Jitted depth-sharded inference forward: ``(state, images) -> logits``

@@ -189,7 +189,58 @@ class DeepAtlasExperiment(BaseExperiment):
         packed_seg = self.config.get("seg_model_settings", {}).get("packed",
                                                                    False)
         self.mesh = None
-        if self.config.get("data_parallel") and jax.device_count() > 1:
+        sp = int(self.config.get("spatial_shards") or 0)
+        if sp > 1:
+            # whole-volume depth sharding (parallel/spatial.py): soft-path
+            # joint steps with frozen-net label substitution, halo'ed
+            # anatomy warp (clamp-bounded at max_disp) and psum'd
+            # anatomy/supervised reductions.  Needs the XLA trunks and the
+            # axis_name-capable loss triple (lncc/bendingEnergy/dice).
+            # Validation stays single-device (library API for sharded eval).
+            import numpy as _np
+            from jax.sharding import Mesh as _Mesh
+
+            from ..losses import get_loss_function as _glf
+            from ..parallel import make_spatial_joint_steps
+            if jax.device_count() < sp:
+                raise ValueError(f"spatial_shards={sp} needs {sp} devices, "
+                                 f"have {jax.device_count()}")
+            if self.config.get("use_pallas_warp", True) \
+                    or self.config.get("seg_model_settings", {}).get(
+                        "packed") \
+                    or self.config.get("reg_model_settings", {}).get(
+                        "packed"):
+                raise ValueError(
+                    "spatial_shards requires the XLA trunks — set "
+                    "use_pallas_warp=False and packed=False on both models "
+                    "(the spatial warp is clamp-bounded like the Pallas "
+                    "path, ops/halo.py)")
+            if (self.config.get("sim_loss", "lncc"), self.config.get(
+                    "reg_loss", "bendingEnergy"),
+                    self.config.get("seg_loss", "dice")) != (
+                        "lncc", "bendingEnergy", "dice"):
+                raise ValueError(
+                    "spatial_shards supports the lncc/bendingEnergy/dice "
+                    "loss triple (the axis_name-capable ones, losses/)")
+            if self.config.get("data_parallel"):
+                raise ValueError(
+                    "spatial_shards and data_parallel are exclusive in the "
+                    "experiment config")
+            self.mesh = _Mesh(_np.asarray(jax.devices()[:sp]), ("space",))
+            sup_kw = dict(self.config.get("seg_loss_settings", {}))
+            sup_kw.pop("n_class", None)
+            self.reg_step, self.seg_step = make_spatial_joint_steps(
+                self.seg_model, self.reg_model, _glf("lncc"),
+                _glf("bendingEnergy"), _glf("dice"), n_class=n_class,
+                reg_weight=self.config.get("reg_weight", 1.0),
+                anatomy_weight=self.config.get("anatomy_weight", 1.0),
+                supervised_weight=self.config.get("supervised_weight", 1.0),
+                mesh=self.mesh,
+                max_disp=self.config.get("max_disp", 8),
+                sim_kwargs=self.config.get("sim_loss_settings", {}),
+                reg_kwargs=self.config.get("reg_loss_settings", {}),
+                supervised_kwargs=sup_kw)
+        elif self.config.get("data_parallel") and jax.device_count() > 1:
             # BASELINE.json config 5: batch sharded over the mesh's data
             # axis, per-shard two-pass grads pmean'd over ICI
             from ..parallel import make_dp_joint_steps, make_mesh, replicate
@@ -338,8 +389,14 @@ class DeepAtlasExperiment(BaseExperiment):
                     self._has_label_flags(batch_m),
                     self._has_label_flags(batch_f))
             if self.mesh is not None:
-                from ..parallel import shard_batch
-                args = shard_batch(args, self.mesh)
+                if "space" in self.mesh.shape:
+                    # volumes shard on D; the (B,) label flags replicate
+                    from ..parallel import shard_volume_batch
+                    args = shard_volume_batch(args[:4],
+                                              self.mesh) + args[4:]
+                else:
+                    from ..parallel import shard_batch
+                    args = shard_batch(args, self.mesh)
             # alternate phases (seg on even iterations, reg on odd)
             if i % 2 == 0:
                 self.seg_state, metrics = self.seg_step(self.seg_state,

@@ -123,7 +123,42 @@ class RegistrationExperiment(BaseExperiment):
             batch_stats=variables.get("batch_stats", {}), tx=self.tx)
         ms = self.config.get("model_settings", {})
         self.mesh = None
-        if self.config.get("data_parallel") and jax.device_count() > 1:
+        sp = int(self.config.get("spatial_shards") or 0)
+        if sp > 1:
+            # whole-volume depth sharding (parallel/spatial.py): stride-2
+            # halo convs + halo'ed spatial-transformer warp; requires the
+            # XLA trunk and the axis_name-capable losses (LNCC +
+            # bendingEnergy).  Validation stays single-device (whole-volume
+            # metrics on one chip; use the library API for sharded eval).
+            import numpy as _np
+            from jax.sharding import Mesh as _Mesh
+
+            from ..parallel import make_spatial_reg_step
+            if jax.device_count() < sp:
+                raise ValueError(f"spatial_shards={sp} needs {sp} devices, "
+                                 f"have {jax.device_count()}")
+            if ms.get("packed") or ms.get("use_pallas_warp"):
+                raise ValueError(
+                    "spatial_shards requires the XLA trunk and warp — set "
+                    "model_settings packed=False, use_pallas_warp=False")
+            if self.config["loss"] != "lncc" or self.config.get(
+                    "reg_loss", "bendingEnergy") != "bendingEnergy":
+                raise ValueError(
+                    "spatial_shards supports the lncc + bendingEnergy "
+                    "losses (the axis_name-capable pair, losses/)")
+            if self.config.get("data_parallel"):
+                raise ValueError(
+                    "spatial_shards and data_parallel are exclusive in the "
+                    "experiment config")
+            self.mesh = _Mesh(_np.asarray(jax.devices()[:sp]), ("space",))
+            self.train_step = make_spatial_reg_step(
+                self.model, get_loss_function(self.config["loss"]),
+                get_loss_function(self.config.get("reg_loss",
+                                                  "bendingEnergy")),
+                self.config.get("reg_weight", 1.0), self.mesh,
+                sim_kwargs=self.config.get("loss_settings", {}),
+                reg_kwargs=self.config.get("reg_loss_settings", {}))
+        elif self.config.get("data_parallel") and jax.device_count() > 1:
             from ..parallel import (make_dp_reg_train_step, make_mesh,
                                     replicate)
             if self.config["batch_size"] % jax.device_count():
@@ -192,8 +227,13 @@ class RegistrationExperiment(BaseExperiment):
             moving = jnp.asarray(batch_m["image"])
             fixed = jnp.asarray(batch_f["image"])
             if self.mesh is not None:
-                from ..parallel import shard_batch
-                moving, fixed = shard_batch((moving, fixed), self.mesh)
+                if "space" in self.mesh.shape:
+                    from ..parallel import shard_volume_batch
+                    moving, fixed = shard_volume_batch((moving, fixed),
+                                                       self.mesh)
+                else:
+                    from ..parallel import shard_batch
+                    moving, fixed = shard_batch((moving, fixed), self.mesh)
             self.state, metrics = self.train_step(self.state, moving, fixed)
             self.global_step = ((self.current_epoch - 1) * iters + i + 1) \
                 * self.config["batch_size"]

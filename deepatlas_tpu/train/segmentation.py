@@ -149,7 +149,47 @@ class SegmentationExperiment(BaseExperiment):
         self.state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"],
             batch_stats=variables.get("batch_stats", {}), tx=self.tx)
-        if self.config.get("data_parallel") and jax.device_count() > 1:
+        sp = int(self.config.get("spatial_shards") or 0)
+        if sp > 1:
+            # whole-volume depth sharding (parallel/spatial.py): the D axis
+            # splits over `spatial_shards` devices with halo-exchanged
+            # convs — the scaling path for volumes past one chip's HBM
+            # (the reference's only lever is crop/patch,
+            # lib/transforms.py:124-158).  Exclusive with data_parallel
+            # here; DP x SP composition is available via the library API
+            # (make_spatial_seg_step(data_axis=...)).
+            import numpy as _np
+            from jax.sharding import Mesh as _Mesh
+
+            from ..parallel import (make_spatial_seg_eval_step,
+                                    make_spatial_seg_step)
+            if jax.device_count() < sp:
+                raise ValueError(f"spatial_shards={sp} needs {sp} devices, "
+                                 f"have {jax.device_count()}")
+            if getattr(self.model, "packed", False):
+                raise ValueError(
+                    "spatial_shards requires the XLA conv path — set "
+                    "model_settings['packed']=False")
+            if self.config.get("data_parallel"):
+                raise ValueError(
+                    "spatial_shards and data_parallel are exclusive in the "
+                    "experiment config; use the parallel/ API for a 2-D "
+                    "(data, space) mesh")
+            if self.config["loss"] != "dice":
+                raise ValueError(
+                    "spatial_shards currently supports the dice criterion "
+                    "(the only seg loss with axis_name shard reductions, "
+                    "losses/dice.py); got " + repr(self.config["loss"]))
+            self.mesh = _Mesh(_np.asarray(jax.devices()[:sp]), ("space",))
+            ls = dict(self.config["loss_settings"])
+            ls.pop("n_class", None)
+            self.train_step = make_spatial_seg_step(
+                self.model, get_loss_function(self.config["loss"]),
+                n_class=self.config["n_classes"], mesh=self.mesh,
+                criterion_kwargs=ls)
+            self.eval_step = make_spatial_seg_eval_step(
+                self.model, self.config["n_classes"], self.mesh)
+        elif self.config.get("data_parallel") and jax.device_count() > 1:
             # BASELINE.json config 5: batch sharded over the mesh's data
             # axis, gradients pmean'd over ICI, params replicated
             from ..parallel import (make_dp_seg_eval_step,

@@ -50,8 +50,15 @@ def main():
                     help="write predicted masks as .nii.gz here")
     ap.add_argument("--flip-left", action="store_true",
                     help="OAI LEFT-knee flip preprocessing")
+    ap.add_argument("--spatial-shards", type=int, default=0,
+                    help="EXACT whole-volume inference depth-sharded over "
+                         "this many devices (parallel/spatial.py) instead "
+                         "of overlap tiles — no stitch seams; requires "
+                         "--no-packed and D divisible by shards x 8")
     args = ap.parse_args()
 
+    from deepatlas_tpu.utils.platform import honor_platform_env
+    honor_platform_env()
     import jax
     import jax.numpy as jnp
 
@@ -90,6 +97,25 @@ def main():
     if restored.get("batch_stats"):
         apply_vars["batch_stats"] = restored["batch_stats"]
 
+    spatial_fwd = None
+    if args.spatial_shards > 1:
+        if args.packed:
+            raise SystemExit("--spatial-shards needs --no-packed (the "
+                             "spatial tier halo-exchanges XLA convs)")
+        from jax.sharding import Mesh
+
+        from deepatlas_tpu.parallel import make_spatial_seg_forward
+        from deepatlas_tpu.train.steps import TrainState
+
+        mesh = Mesh(np.asarray(jax.devices()[:args.spatial_shards]),
+                    ("space",))
+        import optax
+        sp_state = TrainState.create(
+            apply_fn=model.apply, params=apply_vars["params"],
+            batch_stats=apply_vars.get("batch_stats", {}),
+            tx=optax.identity())  # inference-only: no optimizer state
+        spatial_fwd = make_spatial_seg_forward(model, mesh)
+
     predict = make_tile_predictor(model.apply, apply_vars, args.tile_batch)
 
     @jax.jit
@@ -107,8 +133,15 @@ def main():
         sample = {"image": batch["image"][0],
                   "like": batch.get("like", [None])[0]
                   if "like" in batch else None}
-        pred = sliding_window_predict(predict, sample, args.tile_size,
-                                      args.overlap, is_vote=args.vote)
+        if spatial_fwd is not None:
+            # VolumeToArray images are (D, H, W, 1) — add the batch axis
+            logits = spatial_fwd(sp_state,
+                                 jnp.asarray(sample["image"])[None])
+            pred = np.asarray(jnp.argmax(logits[0], axis=-1),
+                              dtype=np.int64)
+        else:
+            pred = sliding_window_predict(predict, sample, args.tile_size,
+                                          args.overlap, is_vote=args.vote)
         line = {"name": name}
         if "segmentation" in batch:
             dice = np.asarray(_dice(jnp.asarray(pred),

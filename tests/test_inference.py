@@ -96,3 +96,43 @@ def test_patch_sampler_config(tmp_path, rng):
     batch = next(iter(exp.training_data_loader))
     assert batch["image"].shape[1:4] == (8, 8, 8)
     assert batch["segmentation"].shape[1:4] == (8, 8, 8)
+
+
+def test_infer_seg_cli_spatial_shards(tmp_path):
+    """infer_seg.py --spatial-shards: EXACT whole-volume depth-sharded
+    inference (no tile seams) through the CLI, restored from a trained
+    experiment checkpoint."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from tests.test_train import make_mindboggle_corpus, tiny_config
+    from deepatlas_tpu.train import SegmentationExperiment
+
+    # raw (uncropped) volumes: inference sees the full size, which must
+    # satisfy the spatial divisibility (D=32 = 2 shards x 16; H,W div 8)
+    make_mindboggle_corpus(tmp_path, n=4, shape=(32, 16, 16))
+    config = tiny_config(tmp_path, n_epochs=1)
+    config.update(samples_per_epoch=2, crop_size=None)
+    exp = SegmentationExperiment(config)
+    exp.train()
+    ckpt = os.path.join(exp.ckpoint_dir, "checkpoint")
+    assert os.path.isdir(ckpt)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "infer_seg.py"),
+         "--ckpt", ckpt, "--data-root", str(tmp_path),
+         "--list-file", str(tmp_path / "valid.txt"), "--data", "MindBoggle",
+         "--n-classes", "3", "--no-packed", "--no-bf16",
+         "--spatial-shards", "2"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(ln) for ln in out.stdout.splitlines()
+             if ln.startswith("{")]
+    assert any("mean_dice_avg" in ln for ln in lines)
+    per = [ln for ln in lines if "dice_avg" in ln and "name" in ln]
+    assert per and all(np.isfinite(ln["dice_avg"]) for ln in per)

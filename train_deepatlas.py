@@ -11,6 +11,8 @@ segmentations.
 import argparse
 import os
 
+from deepatlas_tpu.utils.platform import honor_platform_env
+honor_platform_env()
 from deepatlas_tpu.train import DeepAtlasExperiment
 
 
@@ -31,19 +33,26 @@ def build_config(args) -> dict:
         seg_model="UNet_light",
         # packed: the lane-packed Pallas conv path (pallas/conv3d.py) —
         # full-size 168x200x168 joint training fits one chip with it
+        # --spatial-shards forces the XLA trunks (the spatial tier halo-
+        # exchanges XLA convs and warps; parallel/spatial.py)
         seg_model_settings={"in_channel": 1, "n_classes": n_classes,
                             "bias": True, "BN": True,
-                            "dtype": "bfloat16", "packed": not args.no_packed},
-        reg_model="voxel_morph_cvpr",
-        reg_model_settings={"use_pallas_warp": True, "max_disp": args.max_disp,
                             "dtype": "bfloat16",
-                            "packed": not args.no_packed},
-        use_pallas_warp=True,
+                            "packed": not args.no_packed
+                            and not args.spatial_shards},
+        reg_model="voxel_morph_cvpr",
+        reg_model_settings={"use_pallas_warp": not args.spatial_shards,
+                            "max_disp": args.max_disp,
+                            "dtype": "bfloat16",
+                            "packed": not args.no_packed
+                            and not args.spatial_shards},
+        use_pallas_warp=not args.spatial_shards,
         max_disp=args.max_disp,
-        fused_anatomy=not args.no_packed,
+        fused_anatomy=not args.no_packed and not args.spatial_shards,
         n_classes=n_classes,
         n_labeled=args.n_labeled,
         data_parallel=args.data_parallel,
+        spatial_shards=args.spatial_shards,
 
         crop_size=[0, 10, 7, 14, 8, 7],
 
@@ -116,6 +125,11 @@ def main():
                         help="shard the batch over all visible devices "
                              "(gradients pmean over ICI); batch-size must "
                              "divide by the device count")
+    parser.add_argument("--spatial-shards", type=int, default=0,
+                        help="depth-shard whole volumes over this many "
+                             "devices (parallel/spatial.py soft-path joint "
+                             "steps; requires the XLA trunks: --no-packed "
+                             "and XLA warps)")
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--no-packed", action="store_true",
                         help="disable the packed Pallas conv path (use XLA "

@@ -10,6 +10,8 @@ regularization (loss.py:674-730) over the pairwise MB101 reg dataset
 import argparse
 import os
 
+from deepatlas_tpu.utils.platform import honor_platform_env
+honor_platform_env()
 from deepatlas_tpu.train import RegistrationExperiment
 
 
@@ -33,6 +35,7 @@ def build_config(args) -> dict:
                         "packed": not args.no_packed},
         n_classes=n_classes,
         data_parallel=args.data_parallel,
+        spatial_shards=args.spatial_shards,
 
         crop_size=[0, 10, 7, 14, 8, 7],
 
@@ -92,6 +95,10 @@ def main():
                         help="cap on validation pairs per epoch (the pair "
                              "space is N*(N-1))")
     parser.add_argument("--test_only", "-t", action="store_true")
+    parser.add_argument("--spatial-shards", type=int, default=0,
+                        help="depth-shard whole volumes over this many "
+                             "devices (parallel/spatial.py; needs the XLA "
+                             "trunk: --no-pallas-warp, packed=False)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard the batch over all visible devices")
     parser.add_argument("--batch-size", type=int, default=1)

@@ -11,6 +11,8 @@ JAX-native).
 import argparse
 import os
 
+from deepatlas_tpu.utils.platform import honor_platform_env
+honor_platform_env()
 from deepatlas_tpu.train import SegmentationExperiment
 
 
@@ -93,6 +95,13 @@ def main():
                         help="only test model")
     parser.add_argument("--no-packed", action="store_true",
                         help="disable the packed Pallas conv path")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the batch over all devices "
+                             "(parallel/dp.py; batch_size must divide)")
+    parser.add_argument("--spatial-shards", type=int, default=0,
+                        help="depth-shard whole volumes over this many "
+                             "devices (parallel/spatial.py; needs the XLA "
+                             "conv path, --no-packed)")
     parser.add_argument("--data-root", "-root", default="./data", type=str,
                         help="root of the data folder")
     parser.add_argument("--log-root", "-log", default="./logs", type=str,
