@@ -130,6 +130,7 @@ def make_spatial_seg_step(model, criterion_factory: Callable, n_class: int,
 def make_spatial_reg_step(model, sim_factory: Callable,
                           reg_factory: Callable, reg_weight: float,
                           mesh: Mesh, axis: str = "space",
+                          data_axis: str | None = None,
                           sim_kwargs: dict | None = None,
                           reg_kwargs: dict | None = None):
     """Jitted registration train step on depth-sharded volume pairs.
@@ -140,11 +141,18 @@ def make_spatial_reg_step(model, sim_factory: Callable,
     the displacement field, both computed with their ``axis_name`` spatial
     reductions (losses/similarity.py, losses/regularizers.py) so the
     sharded loss and gradients equal the single-device clamp-bounded step.
+
+    ``data_axis``: optional batch-sharding axis for DP x SP execution on a
+    2-D ``(data, space)`` mesh — both losses are means over equal-size
+    local batches, so the global loss/metrics are their ``pmean`` over the
+    data axis and the gradient pmean extends over both axes.
     """
     sim_loss = sim_factory(axis_name=axis, **(sim_kwargs or {}))
     reg_loss = reg_factory(axis_name=axis, **(reg_kwargs or {}))
     sp_model = _spatial_model(model, axis)
-    vol_spec = P(None, axis)
+    vol_spec = (P(None, axis) if data_axis is None
+                else P(data_axis, axis))
+    loss_axes = (axis,) if data_axis is None else (axis, data_axis)
 
     def _local_step(state: TrainState, moving, fixed):
         def loss_fn(params):
@@ -158,9 +166,12 @@ def make_spatial_reg_step(model, sim_factory: Callable,
         (loss, (sim, reg)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         # pmean, not psum: see make_spatial_seg_step on psum's transpose
-        grads = jax.lax.pmean(grads, axis)
+        grads = jax.lax.pmean(grads, loss_axes)
         state = state.apply_gradients(grads)
-        return state, {"loss": loss, "sim": sim, "reg": reg}
+        metrics = {"loss": loss, "sim": sim, "reg": reg}
+        if data_axis is not None:
+            metrics = jax.lax.pmean(metrics, data_axis)
+        return state, metrics
 
     sharded = shard_map(
         _local_step, mesh=mesh,

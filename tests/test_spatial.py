@@ -376,3 +376,47 @@ def test_spatial_joint_steps_match_single(rng):
     for a, b in zip(jax.tree_util.tree_leaves(ss_sp.batch_stats),
                     jax.tree_util.tree_leaves(ss_ref.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_spatial_reg_step_dp_sp_mesh(rng):
+    """DP x SP registration: batch over 'data', depth over 'space' on a
+    (2, 4) mesh — loss/metrics/updated params equal the single-device
+    batch-2 step."""
+    import optax
+
+    from deepatlas_tpu.losses import (_bending_factory,
+                                      _lncc_factory)  # type: ignore
+    from deepatlas_tpu.models import VoxelMorphCVPR2018
+    from deepatlas_tpu.parallel.spatial import make_spatial_reg_step
+    from deepatlas_tpu.train.reg_steps import make_reg_train_step
+
+    model = VoxelMorphCVPR2018(enc_filters=(4, 8, 8, 8, 8),
+                               dec_filters=(8, 8, 8, 4, 4),
+                               flow_scale=0.1)
+    mov = jnp.asarray(rng.rand(2, 64, 16, 16, 1).astype(np.float32))
+    fix = jnp.asarray(rng.rand(2, 64, 16, 16, 1).astype(np.float32))
+
+    def fresh():
+        sv = model.init(jax.random.PRNGKey(0), mov, fix)
+        return TrainState.create(apply_fn=model.apply, params=sv["params"],
+                                 batch_stats={}, tx=optax.sgd(1e-2))
+
+    sr, m_ref = make_reg_train_step(_lncc_factory(filter_size=9),
+                                    _bending_factory(),
+                                    reg_weight=0.5)(fresh(), mov, fix)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "space"))
+    sp_step = make_spatial_reg_step(model, _lncc_factory, _bending_factory,
+                                    reg_weight=0.5, mesh=mesh,
+                                    data_axis="data",
+                                    sim_kwargs=dict(filter_size=9))
+    ms, fs = shard_volume_batch((mov, fix), mesh, data_axis="data")
+    ss, m_sp = sp_step(fresh(), ms, fs)
+
+    for k in ("loss", "sim", "reg"):
+        np.testing.assert_allclose(float(m_sp[k]), float(m_ref[k]),
+                                   rtol=2e-5, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(ss.params),
+                    jax.tree_util.tree_leaves(sr.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
