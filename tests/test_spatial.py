@@ -420,3 +420,24 @@ def test_spatial_reg_step_dp_sp_mesh(rng):
     for a, b in zip(jax.tree_util.tree_leaves(ss.params),
                     jax.tree_util.tree_leaves(sr.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_spatial_seg_eval_matches_single(rng):
+    from deepatlas_tpu.parallel.spatial import make_spatial_seg_eval_step
+    from deepatlas_tpu.train.steps import make_seg_eval_step
+
+    model = small_model(BN=True)
+    x = jnp.asarray(rng.rand(2, 16, 8, 8, 1).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 3, (2, 16, 8, 8)).astype(np.int32))
+    state = make_state(model, x)
+    dice_ref, logits_ref = make_seg_eval_step(3)(state, x, labels)
+
+    mesh = space_mesh(4)
+    ev = make_spatial_seg_eval_step(model, 3, mesh)
+    xs, ls = shard_volume_batch((x, labels), mesh)
+    dice_sp, logits_sp = ev(state, xs, ls)
+
+    np.testing.assert_allclose(np.asarray(dice_sp), np.asarray(dice_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logits_sp),
+                               np.asarray(logits_ref), atol=2e-5)
