@@ -112,9 +112,13 @@ class UNetTemplate(nn.Module):
     # run on the lane-packed Pallas conv kernels (pallas/conv3d.py) instead
     # of XLA convolutions — same math, no channel-minor layout padding.
     # ``packed_levels`` counts resolution levels from the top; deeper levels
-    # (small tensors, wide channels) stay on XLA.
+    # (small tensors, wide channels) stay on XLA.  Default 3 packs through
+    # the quarter-resolution C=64 level — measured 190 ms vs 204 ms for the
+    # full-size supervised seg step at packed_levels=2 (tools/
+    # bench_seg_step.py, round 3).  Checkpoint trees differ per variant;
+    # models/packed.py::transfer_unet_params maps between them.
     packed: bool = False
-    packed_levels: int = 2
+    packed_levels: int = 3
     interpret: Any = None               # Pallas interpret override (tests)
     # depth sharding: mesh-axis name when the input volume's D axis is
     # sharded over devices (parallel/spatial.py).  Convs halo-exchange

@@ -182,16 +182,24 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
 
     def reg_grads_fn(reg_state, seg_state, moving, fixed, moving_seg,
                      fixed_seg, m_has, f_has):
-        seg_logits_m, _ = _apply_model(seg_state, seg_state.params, moving,
-                                       train=False)
-        seg_logits_f, _ = _apply_model(seg_state, seg_state.params, fixed,
-                                       train=False)
-        pred_m = jnp.argmax(seg_logits_m, axis=-1).astype(jnp.int32)
-        pred_f = jnp.argmax(seg_logits_f, axis=-1).astype(jnp.int32)
-        lab_m = jnp.where(m_has[:, None, None, None],
-                          moving_seg.astype(jnp.int32), pred_m)
-        lab_f = jnp.where(f_has[:, None, None, None],
-                          fixed_seg.astype(jnp.int32), pred_f)
+        # frozen seg-net label substitution, skipped per shard when the
+        # side is fully labeled (lax.cond — per-shard control flow, no
+        # collectives inside, same rationale as the seg phase's switch)
+        def _substitute(has_label, gt_seg, images):
+            def use_gt():
+                return gt_seg.astype(jnp.int32)
+
+            def use_pred():
+                logits, _ = _apply_model(seg_state, seg_state.params,
+                                         images, train=False)
+                pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return jnp.where(has_label[:, None, None, None],
+                                 gt_seg.astype(jnp.int32), pred)
+
+            return lax.cond(jnp.all(has_label), use_gt, use_pred)
+
+        lab_m = _substitute(m_has, moving_seg, moving)
+        lab_f = _substitute(f_has, fixed_seg, fixed)
         onehot_m = None if fused_anatomy else one_hot(lab_m, n_class,
                                                       dtype=adt)
 

@@ -116,17 +116,25 @@ def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
     @partial(jax.jit, donate_argnums=(0,))
     def step(reg_state: TrainState, seg_state: TrainState, moving, fixed,
              moving_seg, fixed_seg, moving_has_label, fixed_has_label):
-        # frozen seg-net predictions replace missing ground truth
-        seg_logits_m, _ = _apply_model(seg_state, seg_state.params, moving,
-                                       train=False)
-        seg_logits_f, _ = _apply_model(seg_state, seg_state.params, fixed,
-                                       train=False)
-        pred_m = jnp.argmax(seg_logits_m, axis=-1).astype(jnp.int32)
-        pred_f = jnp.argmax(seg_logits_f, axis=-1).astype(jnp.int32)
-        lab_m = jnp.where(moving_has_label[:, None, None, None],
-                          moving_seg.astype(jnp.int32), pred_m)
-        lab_f = jnp.where(fixed_has_label[:, None, None, None],
-                          fixed_seg.astype(jnp.int32), pred_f)
+        # frozen seg-net predictions replace missing ground truth — but only
+        # where ground truth is actually missing: a fully-labeled side skips
+        # its frozen forward entirely (lax.cond), which in the fully-labeled
+        # MB101-21 recipe removes two full-size U-Net forwards per reg step
+        def _substitute(has_label, gt_seg, images):
+            def use_gt():
+                return gt_seg.astype(jnp.int32)
+
+            def use_pred():
+                logits, _ = _apply_model(seg_state, seg_state.params,
+                                         images, train=False)
+                pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return jnp.where(has_label[:, None, None, None],
+                                 gt_seg.astype(jnp.int32), pred)
+
+            return jax.lax.cond(jnp.all(has_label), use_gt, use_pred)
+
+        lab_m = _substitute(moving_has_label, moving_seg, moving)
+        lab_f = _substitute(fixed_has_label, fixed_seg, fixed)
         onehot_m = None if fused_anatomy else one_hot(
             lab_m, n_class, dtype=anatomy_dtype or jnp.float32)
 

@@ -16,73 +16,14 @@ VOL = (1, 16, 24, 16, 1)
 NC = 4
 
 
-def transfer_params(std, bn):
-    """Map the standard UNetTemplate param tree onto the packed tree for the
-    UNet_light plan with packed_levels=2 (module creation order is
-    deterministic in both paths)."""
-    p = std["params"]
-    conv_map = {0: ("PackedConvBlock_0",), 1: ("PackedConvBlock_1",),
-                2: ("PackedConvBlock_2",), 3: ("PackedConvBlock_3",),
-                4: ("ConvBlock_0",), 5: ("ConvBlock_1",),
-                6: ("ConvBlock_2",), 7: ("ConvBlock_3",),
-                8: ("ConvBlock_4",), 9: ("ConvBlock_5",),
-                10: ("PackedConvBlock_4",), 11: ("PackedConvBlock_5",),
-                12: ("PackedConvBlock_6",), 13: ("PackedConvBlock_7",)}
-    out = {}
-    bstats = {}
-    for i, (name,) in conv_map.items():
-        src = p[f"ConvBlock_{i}"]
-        if name.startswith("Packed"):
-            dst = {"kernel": src["Conv_0"]["kernel"]}
-            if "bias" in src["Conv_0"]:
-                dst["bias"] = src["Conv_0"]["bias"]
-            if bn:
-                dst["PackedBatchNorm_0"] = {
-                    "scale": src["BatchNorm_0"]["scale"],
-                    "bias": src["BatchNorm_0"]["bias"]}
-                bstats[name] = {"PackedBatchNorm_0": {
-                    "mean": std["batch_stats"][f"ConvBlock_{i}"]
-                    ["BatchNorm_0"]["mean"],
-                    "var": std["batch_stats"][f"ConvBlock_{i}"]
-                    ["BatchNorm_0"]["var"]}}
-        else:
-            dst = src
-            if bn:
-                bstats[name] = std["batch_stats"][f"ConvBlock_{i}"]
-        out[name] = dst
-    # deconvs: std DeconvBlock kernel is (2,2,2,O,I) (transpose_kernel);
-    # the packed deconv kernel is (2,2,2,I,O)
-    for j, name in [(0, "DeconvBlock_0"), (1, "PackedDeconvBlock_0"),
-                    (2, "PackedDeconvBlock_1")]:
-        src = p[f"DeconvBlock_{j}"]
-        if name.startswith("Packed"):
-            dst = {"kernel": jnp.transpose(
-                src["ConvTranspose_0"]["kernel"], (0, 1, 2, 4, 3))}
-            if "bias" in src["ConvTranspose_0"]:
-                dst["bias"] = src["ConvTranspose_0"]["bias"]
-            if bn:
-                dst["PackedBatchNorm_0"] = {
-                    "scale": src["BatchNorm_0"]["scale"],
-                    "bias": src["BatchNorm_0"]["bias"]}
-                bstats[name] = {"PackedBatchNorm_0": {
-                    "mean": std["batch_stats"][f"DeconvBlock_{j}"]
-                    ["BatchNorm_0"]["mean"],
-                    "var": std["batch_stats"][f"DeconvBlock_{j}"]
-                    ["BatchNorm_0"]["var"]}}
-        else:
-            dst = src
-            if bn:
-                bstats[name] = std["batch_stats"][f"DeconvBlock_{j}"]
-        out[name] = dst
-    # final 1x1 conv
-    fin = {"kernel": p["Conv_0"]["kernel"]}
-    if "bias" in p["Conv_0"]:
-        fin["bias"] = p["Conv_0"]["bias"]
-    out["PackedConvBlock_8"] = fin
-    vars_out = {"params": out}
-    if bn:
-        vars_out["batch_stats"] = bstats
-    return vars_out
+def transfer_params(std, bn, pk_model):
+    """Map the standard tree onto ``pk_model``'s packed tree via the real
+    utility (models/packed.py::transfer_unet_params) — the tests follow the
+    model's current ``packed_levels`` default."""
+    del bn  # the utility reads model.BN
+    from deepatlas_tpu.models.packed import transfer_unet_params
+
+    return transfer_unet_params(std, pk_model)
 
 
 @pytest.mark.parametrize("bn", [False, True])
@@ -92,7 +33,7 @@ def test_packed_unet_matches_standard(rng, bn):
     pk_model = UNetLight(in_channel=1, n_classes=NC, bias=True, BN=bn,
                          packed=True, interpret=True)
     std_vars = std_model.init(jax.random.PRNGKey(0), x, train=False)
-    pk_vars = transfer_params(std_vars, bn)
+    pk_vars = transfer_params(std_vars, bn, pk_model)
 
     ref = std_model.apply(std_vars, x, train=False)
     out = pk_model.apply(pk_vars, x, train=False)
@@ -107,7 +48,7 @@ def test_packed_unet_train_mode_bn_stats(rng):
     pk_model = UNetLight(in_channel=1, n_classes=NC, bias=True, BN=True,
                          packed=True, interpret=True)
     std_vars = std_model.init(jax.random.PRNGKey(0), x, train=False)
-    pk_vars = transfer_params(std_vars, True)
+    pk_vars = transfer_params(std_vars, True, pk_model)
 
     ref, std_mut = std_model.apply(std_vars, x, train=True,
                                    mutable=["batch_stats"])
@@ -131,7 +72,7 @@ def test_packed_unet_input_grads_match(rng):
     pk_model = UNetLight(in_channel=1, n_classes=NC, bias=True, BN=False,
                          packed=True, interpret=True)
     std_vars = std_model.init(jax.random.PRNGKey(0), x, train=False)
-    pk_vars = transfer_params(std_vars, False)
+    pk_vars = transfer_params(std_vars, False, pk_model)
 
     g_ref = jax.grad(lambda x: jnp.sum(
         std_model.apply(std_vars, x, train=True) * ct))(x)

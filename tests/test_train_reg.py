@@ -374,3 +374,62 @@ class TestOverflowGuard:
         assert exp.config["use_pallas_warp"] is False
         assert exp.reg_model.use_pallas_warp is False
         assert np.isfinite(exp.reg_best_score)
+
+
+def test_joint_reg_skips_frozen_seg_when_fully_labeled(rng):
+    """The reg phase's frozen-seg-net label substitution is guarded by a
+    lax.cond per side: when a side is fully labeled its frozen U-Net forward
+    never runs, so the step's result must be INVARIANT to the seg net's
+    weights.  With a missing label the prediction is used, so different seg
+    weights must change the anatomy term."""
+    import jax
+    import jax.numpy as jnp
+    from deepatlas_tpu.losses import get_loss_function
+    from deepatlas_tpu.models import UNetTemplate, VoxelMorphCVPR2018
+    from deepatlas_tpu.train import TrainState, make_optimizer
+    from deepatlas_tpu.train.reg_steps import make_joint_reg_step
+
+    nc = 3
+    shape = (2, 8, 8, 8, 1)
+    seg_model = UNetTemplate(encoders=((2, 4), (4, 4)), decoders=((4, 4, 4),),
+                             in_channel=1, n_classes=nc, bias=True, BN=True,
+                             act="LeakyReLU")
+    reg_model = VoxelMorphCVPR2018(enc_filters=(2, 4, 4, 4, 4),
+                                   dec_filters=(4, 4, 4, 2, 2))
+    moving = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    fixed = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    mseg = jnp.asarray(rng.randint(0, nc, shape[:4]).astype(np.int32))
+    fseg = jnp.asarray(rng.randint(0, nc, shape[:4]).astype(np.int32))
+
+    sim = get_loss_function("lncc")(filter_size=3)
+    regl = get_loss_function("bendingEnergy")()
+    rv = reg_model.init(jax.random.PRNGKey(1), moving, fixed)
+    step = make_joint_reg_step(sim, regl, 1.0, 1.0, nc)
+
+    def run(seg_key, has_m, has_f):
+        sv = seg_model.init(seg_key, moving, train=False)
+        ss = TrainState.create(apply_fn=seg_model.apply, params=sv["params"],
+                               batch_stats=sv.get("batch_stats", {}),
+                               tx=make_optimizer(1e-3))
+        fresh = jax.tree_util.tree_map(jnp.copy, rv)
+        rs = TrainState.create(apply_fn=reg_model.apply,
+                               params=fresh["params"], batch_stats={},
+                               tx=make_optimizer(1e-3))
+        rs2, metrics = step(rs, ss, moving, fixed, mseg, fseg,
+                            jnp.asarray(has_m), jnp.asarray(has_f))
+        return rs2.params, metrics
+
+    both = [True, True]
+    # fully labeled: two different seg nets -> identical step
+    p_a, m_a = run(jax.random.PRNGKey(10), both, both)
+    p_b, m_b = run(jax.random.PRNGKey(20), both, both)
+    np.testing.assert_allclose(float(m_a["anatomy"]), float(m_b["anatomy"]))
+    for a, b in zip(jax.tree_util.tree_leaves(p_a),
+                    jax.tree_util.tree_leaves(p_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # fixed side unlabeled: the prediction fills in -> seg weights matter
+    part = [True, False]
+    _, m_c = run(jax.random.PRNGKey(10), both, part)
+    _, m_d = run(jax.random.PRNGKey(20), both, part)
+    assert abs(float(m_c["anatomy"]) - float(m_d["anatomy"])) > 1e-7
