@@ -157,7 +157,12 @@ class DeepAtlasExperiment(BaseExperiment):
         from ..data.augment import make_augmenter
         self.augmenter = make_augmenter(self.config.get("augmentation"))
         from .guard import make_guard
-        self.overflow_guard = make_guard(self.config) \
+        # escalate by default: the reference's grid_sample is unbounded
+        # (voxel_morph.py:90-91); silently optimizing a clamp-saturated
+        # surrogate through early joint training is the one semantic
+        # divergence the bounded kernel could hide (round-3 VERDICT next #7)
+        self.overflow_guard = make_guard(self.config,
+                                         default_mode="escalate") \
             if self.config.get("use_pallas_warp", True) else None
 
     def _build_steps(self):

@@ -24,10 +24,14 @@ class DispOverflowGuard:
     Args:
       threshold: offending overflow fraction (clipped voxels / voxels).
       patience: consecutive offending steps before action.
-      mode: ``"warn"`` — print only (default; escalation re-jits, which
-        costs minutes at full MB101 size, so it is opt-in);
+      mode: ``"warn"`` — print only;
         ``"escalate"`` — double ``max_disp`` (×``factor``) up to ``limit``,
-        then fall back to warning;
+        then fall back to warning (the joint experiment's default:
+        early joint training saturates the bound by construction — an
+        untrained VoxelMorph emits |disp| well past 8 voxels — and
+        training on the clamped surrogate silently diverges from the
+        reference's unbounded ``F.grid_sample`` semantics.  The re-jit
+        cost is once per doubling, bounded by ``limit``);
         ``"xla"`` — request the unbounded XLA warp path.
       factor / limit: escalation step and cap for ``mode="escalate"``.
     """
@@ -75,13 +79,18 @@ class DispOverflowGuard:
         return {"action": "warn"}
 
 
-def make_guard(config: dict) -> Optional[DispOverflowGuard]:
+def make_guard(config: dict,
+               default_mode: str = "warn") -> Optional[DispOverflowGuard]:
     """Build a guard from the experiment config's ``overflow_guard`` key
     (dict of DispOverflowGuard kwargs; ``False``/``None`` disables, ``True``
-    or ``{}`` uses defaults)."""
+    or ``{}`` uses defaults).  ``default_mode`` sets the mode when the
+    config does not name one — the joint experiment passes ``"escalate"``
+    (train/deepatlas.py) so clamp saturation self-heals by default."""
     cfg = config.get("overflow_guard", True)
     if not cfg:
         return None
     if cfg is True:
         cfg = {}
+    cfg = dict(cfg)
+    cfg.setdefault("mode", default_mode)
     return DispOverflowGuard(**cfg)

@@ -323,6 +323,26 @@ class TestOverflowGuard:
         assert g3.update(0.0, 8) is None
         assert g3.update(0.5, 8) is None
 
+    def test_make_guard_default_modes(self):
+        """The joint experiment defaults to escalate (round-3 VERDICT next
+        #7: warn-by-default let early joint training optimize a clamp-
+        saturated surrogate indefinitely); an explicit mode still wins."""
+        from deepatlas_tpu.train.guard import make_guard
+        assert make_guard({}, default_mode="escalate").mode == "escalate"
+        assert make_guard({}).mode == "warn"
+        assert make_guard({"overflow_guard": {"mode": "warn"}},
+                          default_mode="escalate").mode == "warn"
+        assert make_guard({"overflow_guard": False},
+                          default_mode="escalate") is None
+
+    def test_joint_experiment_guard_defaults_to_escalate(self, tmp_path):
+        cfg = self._config(tmp_path)
+        cfg["overflow_guard"] = True   # defaults, no explicit mode
+        exp = DeepAtlasExperiment(cfg)
+        exp.setup_train()
+        exp._init_state()
+        assert exp.overflow_guard.mode == "escalate"
+
     @staticmethod
     def _config(root, **guard):
         from tests.test_train import make_mindboggle_corpus
