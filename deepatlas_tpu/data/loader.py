@@ -12,12 +12,24 @@ data-starved (round-1 VERDICT weak #8).
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
 from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
+
+
+def auto_num_workers(batch_size: int) -> int:
+    """Decode-pool size scaled to the batch (data-parallel training draws
+    ``n_devices`` samples per step, ref 4-worker DataLoader
+    segmentation.py:72-79): enough threads to decode a whole DP batch
+    concurrently, bounded by the host's cores ×2 (the zlib inflate runs in
+    native code with the GIL released — deepatlas_io.cpp — so a couple of
+    threads per core overlap I/O with decode) and a safety cap."""
+    cores = os.cpu_count() or 1
+    return max(2, min(batch_size, 2 * cores, 16))
 
 
 def _stack_samples(samples: Sequence[dict]) -> dict:
@@ -49,13 +61,17 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  drop_last: bool = True, seed: int = 0, prefetch: int = 2,
-                 num_workers: int = 2, collate: Optional[Callable] = None):
+                 num_workers: Optional[int] = None,
+                 collate: Optional[Callable] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
-        self.num_workers = num_workers
+        # None -> scale the decode pool with the batch (DP draws n_devices
+        # samples per step; a fixed pool of 2 starves wide meshes)
+        self.num_workers = (auto_num_workers(batch_size)
+                            if num_workers is None else num_workers)
         self.collate = collate or self._default_collate
         self._rng = np.random.RandomState(seed)
         # ingest accounting: time the consumer was blocked waiting for a

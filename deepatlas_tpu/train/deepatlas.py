@@ -87,7 +87,9 @@ class DeepAtlasExperiment(BaseExperiment):
             pre_transform=tf, n_samples=self.config.get("num_samples"))
         self.training_data_loader = DataLoader(
             training_data, batch_size=self.config["batch_size"], shuffle=True,
-            seed=self.config["random_seed"], prefetch=2)
+            seed=self.config["random_seed"],
+            prefetch=self.config.get("prefetch", 2),
+            num_workers=self.config.get("num_workers"))
         # semi-supervision: only the first n_labeled scans keep their labels
         self.n_labeled = self.config.get("n_labeled")
         self.labeled_names = set(training_data.name_list[:self.n_labeled]

@@ -82,7 +82,9 @@ class RegistrationExperiment(BaseExperiment):
             pre_transform=tf, n_samples=self.config.get("num_samples"))
         self.training_data_loader = DataLoader(
             training_data, batch_size=self.config["batch_size"], shuffle=True,
-            seed=self.config["random_seed"], prefetch=2)
+            seed=self.config["random_seed"],
+            prefetch=self.config.get("prefetch", 2),
+            num_workers=self.config.get("num_workers"))
         validation_data = dataset_cls(
             self.config["validation_list_file"],
             self.config.get("valid_data_dir", self.config["data_dir"]),

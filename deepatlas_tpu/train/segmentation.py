@@ -110,7 +110,7 @@ class SegmentationExperiment(BaseExperiment):
             training_data, batch_size=self.config["batch_size"], shuffle=True,
             seed=self.config["random_seed"],
             prefetch=self.config.get("prefetch", 2),
-            num_workers=self.config.get("num_workers", 2))
+            num_workers=self.config.get("num_workers"))
         validation_data = dataset_cls(
             self.config["validation_list_file"],
             self.config.get("valid_data_dir", self.config["data_dir"]),

@@ -243,6 +243,30 @@ class TestLoader:
         with pytest.raises(RuntimeError, match="boom"):
             list(DataLoader(Bad(4), 2, prefetch=2))
 
+    def test_auto_num_workers_scales_with_batch(self):
+        """DP ingest (round-3 VERDICT next #8): the decode pool defaults to
+        the DP batch size, bounded by host cores x2 and a cap of 16."""
+        import os
+
+        from deepatlas_tpu.data.loader import auto_num_workers
+        cores = os.cpu_count() or 1
+        assert auto_num_workers(1) == 2
+        assert auto_num_workers(8) == max(2, min(8, 2 * cores))
+        assert auto_num_workers(1024) <= 16
+        # the loader applies it when num_workers is None
+        dl = DataLoader(self._ToyDataset(8), batch_size=8, num_workers=None)
+        assert dl.num_workers == auto_num_workers(8)
+        assert DataLoader(self._ToyDataset(8), 8, num_workers=3) \
+            .num_workers == 3
+        # determinism is worker-count independent (ordered collection)
+        a = [b["name"] for b in DataLoader(self._ToyDataset(8), 2,
+                                           shuffle=True, seed=3,
+                                           num_workers=1)]
+        b = [b["name"] for b in DataLoader(self._ToyDataset(8), 2,
+                                           shuffle=True, seed=3,
+                                           num_workers=8)]
+        assert a == b
+
 
 # ---------------------------------------------------------------- augment
 

@@ -18,6 +18,58 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def loader_only(args):
+    """DP-scale ingest evidence (round-3 VERDICT next #8): the standalone
+    sustained decode rate of the loader at a data-parallel batch, for the
+    fixed 2-worker pool vs the batch-scaled auto pool, against the rate a
+    DP mesh would demand (batch_size / chip step seconds)."""
+    from deepatlas_tpu.data import (Compose, CropVolume, VolumeToArray,
+                                    get_seg_dataset)
+    from deepatlas_tpu.data.loader import DataLoader, auto_num_workers
+
+    root = os.path.join(args.data_root, "mindboggle")
+    tf = Compose([VolumeToArray(), CropVolume([0, 10, 7, 14, 8, 7])])
+    ds = get_seg_dataset("MindBoggle")(
+        (os.path.join(root, "MMRR-21-flip.txt"),), root, with_seg=True,
+        preload=args.preload, pre_transform=tf, n_samples=21)
+    results = {}
+    for nw in sorted({2, auto_num_workers(args.batch_size)}):
+        loader = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
+                            seed=0, prefetch=args.prefetch, num_workers=nw)
+        # warm one batch (thread spin-up), then time a full epoch drain
+        it = iter(loader)
+        next(it)
+        t0 = time.time()
+        n = 0
+        for batch in it:
+            n += batch["image"].shape[0]
+        dt = time.time() - t0
+        results[f"workers_{nw}"] = {
+            "volumes_per_sec": round(n / dt, 3), "volumes": n,
+            "seconds": round(dt, 2)}
+        print(f"workers={nw}: {n / dt:.3f} vol/s", flush=True)
+    chip_step_s = args.chip_step_ms / 1e3
+    out = {
+        "metric": "standalone DP-batch ingest rate (full-size MB101 "
+                  "volumes, 1-core host)",
+        "batch_size": args.batch_size,
+        "auto_num_workers": auto_num_workers(args.batch_size),
+        "preload": bool(args.preload),
+        "rates": results,
+        "required_volumes_per_sec_at_chip_step": round(
+            args.batch_size / chip_step_s, 2),
+        "chip_step_ms_assumed": args.chip_step_ms,
+        "note": "the decode pool is thread-scaled with the DP batch "
+                "(data/loader.py auto_num_workers) but bounded by host "
+                "cores; this 1-core host saturates at the measured rate — "
+                "a production DP pod host provisions ~1-2 cores per chip",
+    }
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", default="/tmp/mb_full")
@@ -27,10 +79,19 @@ def main():
                          "--preload flag) — wait_fraction then measures "
                          "only collation/H2D")
     ap.add_argument("--prefetch", type=int, default=2)
-    ap.add_argument("--num-workers", type=int, default=2)
+    ap.add_argument("--num-workers", type=int, default=None)
+    ap.add_argument("--loader-only", action="store_true",
+                    help="measure the standalone loader decode rate at a "
+                         "DP batch instead of training (no device work)")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--chip-step-ms", type=float, default=190.0,
+                    help="per-step chip time the DP mesh would sustain "
+                         "(BASELINE.md supervised seg step)")
     ap.add_argument("--out", default=None,
                     help="also write the JSON result to this path")
     args = ap.parse_args()
+    if args.loader_only:
+        return loader_only(args)
 
     from deepatlas_tpu.train import SegmentationExperiment
 

@@ -166,6 +166,8 @@ def census_splat(gz, gy, gx, d, h, w, r):
     A = B = C = D = 0
     dy_trips = 0
     for q in range(d):
+        if q % 32 == 0:
+            print(f"  splat census plane {q}/{d}", flush=True)
         tyq = gy[q] - rows
         txq = gx[q] - cols
         mty = -tyq   # offset coordinate: tent(tyq + dy) has mass at dy~mty
@@ -197,10 +199,23 @@ def main():
     ap.add_argument("--max-disp", type=int, default=8)
     ap.add_argument("--tz", type=int, default=8)
     ap.add_argument("--out", default="")
+    ap.add_argument("--fields-npz", default="/tmp/census_fields.npz",
+                    help="cache of the probed fields; --probe-only writes "
+                         "it (chip), a later run reads it (host-only)")
+    ap.add_argument("--probe-only", action="store_true")
     args = ap.parse_args()
     d, h, w = args.size
     r = args.max_disp
-    worst, typ = probe_fields(args.size, r)
+    if os.path.exists(args.fields_npz) and not args.probe_only:
+        z = np.load(args.fields_npz)
+        worst, typ = z["worst"], z["typical"]
+        print("loaded cached fields", flush=True)
+    else:
+        worst, typ = probe_fields(args.size, r)
+        np.savez(args.fields_npz, worst=worst, typical=typ)
+        print("probed + cached fields", flush=True)
+        if args.probe_only:
+            return
     results = {}
     for name, grid in [("worst", worst), ("typical", typ)]:
         gz, gy, gx = vox_coords(grid, d, h, w)

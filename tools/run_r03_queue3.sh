@@ -5,16 +5,19 @@
 # fwd/bwd/update split.  Runs detached; results land in /tmp/r03_queue3.log
 # and DP_ONCHIP_r03.json.
 set -u
-cd "$(dirname "$0")/.."
+cd "$(dirname "$0")/.." || exit 1
 LOG=/tmp/r03_queue3.log
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 echo "=== r03 queue3 start $(date +%T)" >> "$LOG"
 echo "--- dp onchip $(date +%T)" >> "$LOG"
 timeout 1500 python -u tools/bench_dp_onchip.py --out DP_ONCHIP_r03.json >> "$LOG" 2>&1
+# NB all three per-label runs use --regime worst explicitly so the
+# label-branch comparison is apples-to-apples (advisor finding r03);
+# bench.py --labels all --regime all now covers the full matrix in one run.
 echo "--- bench labels=moving $(date +%T)" >> "$LOG"
-timeout 1500 python -u bench.py --labels moving --iters 3 >> "$LOG" 2>&1
+timeout 1500 python -u bench.py --labels moving --regime worst --iters 3 >> "$LOG" 2>&1
 echo "--- bench labels=fixed $(date +%T)" >> "$LOG"
-timeout 1500 python -u bench.py --labels fixed --iters 3 >> "$LOG" 2>&1
+timeout 1500 python -u bench.py --labels fixed --regime worst --iters 3 >> "$LOG" 2>&1
 echo "--- bench labels=none typical $(date +%T)" >> "$LOG"
 timeout 1500 python -u bench.py --labels none --regime typical --iters 3 >> "$LOG" 2>&1
 echo "--- profile seg step $(date +%T)" >> "$LOG"
