@@ -36,15 +36,16 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.warp import clamp_displacement
 from .splat import pallas_splat
 from .warp import (LANE, _SW, _bwd_grid_single, _ceil_to,  # noqa: F401
-                   _default_interpret, _gather_pre, _ldecode, _pad_last,
-                   _prep_gather, _tent, _tile_meta, _vox_coords, _wp_for,
-                   _ypad)
+                   _default_interpret, _gather_pre, _joint_sdy_meta,
+                   _ldecode, _pad_last, _prep_gather, _tent, _tile_meta,
+                   _vox_coords, _wp_for, _ypad)
 
 
 # ------------------------------------------------------------- kernels
 
 def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, meta_ref,
-                        out_ref, slab, sem, *, d, h, w, wp, tz, r):
+                        jmeta_ref, out_ref, slab, sem, *, d, h, w, wp,
+                        tz, r):
     """m(v) = sum_i w_i(v) * [lab_m(corner_i(v)) == lab_f(v)]."""
     s_planes = tz + 2 * (r + 1)
     yp = _ypad(r)
@@ -65,8 +66,9 @@ def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, meta_ref,
 
     rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)
     ty = gy - rows.astype(jnp.float32)
-    # packed offset lists from the SMEM meta (warp.py _tile_meta)
-    ns, ndy = meta_ref[zi, 0], meta_ref[zi, 1]
+    # packed offset lists from the SMEM meta (warp.py _tile_meta); the
+    # dy loop is per source plane (_joint_sdy_meta)
+    ns = meta_ref[zi, 0]
 
     # shared single gather plan (see warp.py _fwd_kernel): v1 at ix1, v0
     # via the one-lane-rolled plane; index prep + masked blend weights
@@ -85,9 +87,11 @@ def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, meta_ref,
     def z_body(j1, acc):
         s = _ldecode(meta_ref, zi, 2, j1)
         wz = _tent(gz - s.astype(jnp.float32))
+        ndy_s = jmeta_ref[zi, s, 0]
 
         def y_body(j2, acc):
-            dy = _ldecode(meta_ref, zi, 2 + _SW, j2) - (r + 1)
+            dy = (jax.lax.shift_right_logical(
+                jmeta_ref[zi, s, 1 + j2 // 6], 5 * (j2 % 6)) & 31) - (r + 1)
             y_src = rows + dy
             wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
                            _tent(ty - dy.astype(jnp.float32)), 0.0)
@@ -101,7 +105,7 @@ def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, meta_ref,
                 jnp.where(jnp.abs(v1 - lf) < 0.5, w1m, 0.0)
             return acc + wzy * xv
 
-        return jax.lax.fori_loop(0, ndy, y_body, acc)
+        return jax.lax.fori_loop(0, ndy_s, y_body, acc)
 
     acc = jax.lax.fori_loop(0, ns, z_body,
                             jnp.zeros(gz.shape, jnp.float32))
@@ -109,8 +113,8 @@ def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, meta_ref,
 
 
 def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
-                        meta_ref, dgz_ref, dgy_ref, dgx_ref, slab, sem,
-                        *, d, h, w, wp, tz, r):
+                        meta_ref, jmeta_ref, dgz_ref, dgy_ref, dgx_ref,
+                        slab, sem, *, d, h, w, wp, tz, r):
     s_planes = tz + 2 * (r + 1)
     yp = _ypad(r)
     hp = h + 2 * yp
@@ -132,8 +136,8 @@ def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)
     ty = gy - rows.astype(jnp.float32)
     # packed offset lists from the SMEM meta; the tent-derivative support
-    # equals the tent support, so the same lists are exact here
-    ns, ndy = meta_ref[zi, 0], meta_ref[zi, 1]
+    # equals the tent support, so the same joint per-s lists are exact
+    ns = meta_ref[zi, 0]
 
     ix0 = jnp.floor(gx).astype(jnp.int32)
     fx = gx - ix0.astype(jnp.float32)
@@ -150,9 +154,11 @@ def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
         tz_f = gz - s.astype(jnp.float32)
         wz = _tent(tz_f)
         dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
+        ndy_s = jmeta_ref[zi, s, 0]
 
         def y_body(j2, accs):
-            dy = _ldecode(meta_ref, zi, 2 + _SW, j2) - (r + 1)
+            dy = (jax.lax.shift_right_logical(
+                jmeta_ref[zi, s, 1 + j2 // 6], 5 * (j2 % 6)) & 31) - (r + 1)
             az, ay, ax = accs
             k = jnp.mod(hp - (yp + dy), hp)
             rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
@@ -173,7 +179,7 @@ def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
             ax = ax + ct * wz * wy * dxv
             return az, ay, ax
 
-        return jax.lax.fori_loop(0, ndy, y_body, accs)
+        return jax.lax.fori_loop(0, ndy_s, y_body, accs)
 
     zero = jnp.zeros(gz.shape, jnp.float32)
     az, ay, ax = jax.lax.fori_loop(0, ns, z_body, (zero, zero, zero))
@@ -202,6 +208,7 @@ def _matched_fwd_call(lab_m, lab_f, gz, gy, gx, *, tz, r, interpret):
     kern = functools.partial(_matched_fwd_kernel, d=d, h=hb, w=w, wp=wp,
                              tz=tz, r=r)
     meta = _tile_meta(gz, gy, tz=tz, r=r, n_tiles=n_tiles, d=d)
+    jmeta = _joint_sdy_meta(gz, gy, tz=tz, r=r, n_tiles=n_tiles, d=d)
     cspec = pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -209,6 +216,7 @@ def _matched_fwd_call(lab_m, lab_f, gz, gy, gx, *, tz, r, interpret):
         grid=(n_tiles,),
         in_specs=[cspec, cspec, cspec, cspec,
                   pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=cspec,
         out_shape=jax.ShapeDtypeStruct((dp, hb, wp), jnp.float32),
@@ -216,7 +224,7 @@ def _matched_fwd_call(lab_m, lab_f, gz, gy, gx, *, tz, r, interpret):
                         pltpu.SemaphoreType.DMA],
         compiler_params=_VMEM,
         interpret=interpret,
-    )(*coords, lfp, labp, meta)
+    )(*coords, lfp, labp, meta, jmeta)
     return out[:d, :h, :w]
 
 
@@ -237,12 +245,14 @@ def _matched_bwd_call(lab_m, lab_f, gz, gy, gx, ct, *, tz, r, interpret):
     kern = functools.partial(_matched_bwd_kernel, d=d, h=hb, w=w, wp=wp,
                              tz=tz, r=r)
     meta = _tile_meta(gz, gy, tz=tz, r=r, n_tiles=n_tiles, d=d)
+    jmeta = _joint_sdy_meta(gz, gy, tz=tz, r=r, n_tiles=n_tiles, d=d)
     cspec = pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     dgz, dgy, dgx = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[cspec] * 5 + [pl.BlockSpec(memory_space=pl.ANY),
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
                                 pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(cspec, cspec, cspec),
         out_shape=tuple(jax.ShapeDtypeStruct((dp, hb, wp), jnp.float32)
@@ -251,7 +261,7 @@ def _matched_bwd_call(lab_m, lab_f, gz, gy, gx, ct, *, tz, r, interpret):
                         pltpu.SemaphoreType.DMA],
         compiler_params=_VMEM,
         interpret=interpret,
-    )(*coords, lfp, ctp, labp, meta)
+    )(*coords, lfp, ctp, labp, meta, jmeta)
     return (dgz[:d, :h, :w], dgy[:d, :h, :w], dgx[:d, :h, :w])
 
 

@@ -64,11 +64,34 @@ def _plane_meta(gz, gy, gx, *, d: int, h: int, w: int, r: int):
     hit = po[jnp.clip(qq, 0, d - 1), jnp.arange(nb)[None, :]] & ok
     nq, ow = _pack_list(hit, _DW)
     src = jnp.concatenate([nq[:, None], ow], axis=1).astype(jnp.int32)
-    return plane, src
+
+    # per-(q, dy) JOINT dx lists: the saturated regime's per-plane marginal
+    # dx list is full (the clamp transition band sweeps every offset), but
+    # the voxels at a given dy form a thin band whose dx support is small —
+    # the kernel's inner loop iterates exactly these (warp.py
+    # _joint_sdy_meta rationale; census in tools/census_offsets.py).  One
+    # small matmul per plane — scanned over planes so only one plane's
+    # (nb, N) hit masks are live at a time.
+    offs = jnp.arange(-(r + 1), r + 2, dtype=jnp.float32)[:, None]
+
+    def plane_joint(carry, qmats):
+        tyq, txq = qmats                                 # (h*w,) each
+        yh = (jnp.abs(tyq[None, :] - offs) < 1.0).astype(jnp.float32)
+        xh = (jnp.abs(txq[None, :] - offs) < 1.0).astype(jnp.float32)
+        joint = jax.lax.dot(yh, xh.T,
+                            preferred_element_type=jnp.float32) > 0.0
+        jcnt, jwords = _pack_list(joint, _DW)
+        return carry, jnp.concatenate([jcnt[:, None], jwords],
+                                      axis=1).astype(jnp.int32)
+
+    _, jdx = jax.lax.scan(
+        plane_joint, 0,
+        ((rows - gy).reshape(d, -1), (cols - gx).reshape(d, -1)))
+    return plane, src, jdx
 
 
 def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, pres_ref, meta_ref,
-                  smeta_ref, dvol_ref,
+                  smeta_ref, jdx_ref, dvol_ref,
                   gz_s, gy_s, gx_s, ct_s, rtent_s, sem, *, d, h, w, wp, tz,
                   r):
     # when the lane padding is at least the displacement bound, x-shifted
@@ -106,12 +129,12 @@ def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, pres_ref, meta_ref,
     @pl.when(pres_ref[ci, zi] != 0)
     def _work():
         _splat_work(gz_s, gy_s, gx_s, ct_s, rtent_s, meta_ref, smeta_ref,
-                    dvol_ref, d=d, h=h, w=w, wp=wp, tz=tz, r=r, t0=t0,
-                    o0=o0)
+                    jdx_ref, dvol_ref, d=d, h=h, w=w, wp=wp, tz=tz, r=r,
+                    t0=t0, o0=o0)
 
 
 def _splat_work(gz_s, gy_s, gx_s, ct_s, rtent_s, meta_ref, smeta_ref,
-                dvol_ref, *, d, h, w, wp, tz, r, t0, o0):
+                jdx_ref, dvol_ref, *, d, h, w, wp, tz, r, t0, o0):
     x_pad_lands = (wp - w) >= (r + 1)
     s_out = tz + 2 * (r + 1)
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (h, wp), 0)
@@ -166,18 +189,25 @@ def _splat_work(gz_s, gy_s, gx_s, ct_s, rtent_s, meta_ref, smeta_ref,
             def dy_body(j, acc):
                 dy = _ldecode(meta_ref, q, 2, j) - (r + 1)
                 fy = f0 * _tent(tyk + dy.astype(jnp.float32))
+                # the dx loop iterates the per-(q, dy) JOINT list
+                # (_plane_meta jdx): in the saturated regime the marginal
+                # list is full but each dy-band's dx support stays thin
+                dyi = dy + (r + 1)
+                ndx_j = jdx_ref[q, dyi, 0]
 
                 def dy_work(acc):
                     # accumulate the x-offsets unshifted in y, then one row
                     # roll per dy (the row shift commutes with the lane
                     # work — saves dx_range-1 rolls per dy)
                     def dx_body(j2, acc_x):
-                        dx = _ldecode(meta_ref, q, 2 + _DW, j2) - (r + 1)
+                        dx = (jax.lax.shift_right_logical(
+                            jdx_ref[q, dyi, 1 + j2 // 6],
+                            5 * (j2 % 6)) & 31) - (r + 1)
                         g = pltpu.roll(fy, jnp.mod(-dx, wp), 1)
                         return acc_x + g * rtent_s[dx + r + 1]
 
                     acc_x = jax.lax.fori_loop(
-                        0, ndx, dx_body, jnp.zeros((h, wp), jnp.float32))
+                        0, ndx_j, dx_body, jnp.zeros((h, wp), jnp.float32))
                     g2 = pltpu.roll(acc_x, jnp.mod(-dy, h), 0)
                     rows_sh = rows2 + dy
                     y_ok = (rows_sh >= 0) & (rows_sh <= h - 1)
@@ -225,12 +255,12 @@ def pallas_splat(ct: jnp.ndarray, gz, gy, gx, *, d: int, h: int, w: int,
     kern = functools.partial(_splat_kernel, d=d, h=hb, w=w, wp=wp, tz=tz,
                              r=r)
     pres = _channel_presence(ct, tz, r, n_tiles, d)
-    meta, smeta = _plane_meta(gz, gy, gx, d=d, h=h, w=w, r=r)
+    meta, smeta, jdx = _plane_meta(gz, gy, gx, d=d, h=h, w=w, r=r)
     out = pl.pallas_call(
         kern,
         grid=(n_tiles, nc),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
         out_specs=pl.BlockSpec((1, tz, hb, wp), lambda i, c: (c, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nc, dp, hb, wp), jnp.float32),
@@ -241,5 +271,5 @@ def pallas_splat(ct: jnp.ndarray, gz, gy, gx, *, d: int, h: int, w: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*coords, ctp, pres, meta, smeta)
+    )(*coords, ctp, pres, meta, smeta, jdx)
     return out[:, :d, :h, :w]

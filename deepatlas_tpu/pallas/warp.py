@@ -247,6 +247,46 @@ _SW = 6   # ceil(max s_planes = tz + 2(r+1) <= 31 entries / 6 per word)
 _DW = 4   # ceil(2r + 3 <= 19 entries / 6)
 
 
+def _joint_sdy_meta(gz: jnp.ndarray, gy: jnp.ndarray, *, tz: int, r: int,
+                    n_tiles: int, d: int) -> jnp.ndarray:
+    """(n_tiles, s_planes, 1 + _DW) int32 SMEM table: PER source plane s of
+    each tile, the packed list of row offsets ``dy + r + 1`` with JOINT
+    tent mass (some voxel has z-mass toward s AND y-mass at dy).
+
+    The round-3 lists are per-tile MARGINALS (s-list x dy-list product);
+    in the clamp-saturated regime both marginals are full (the transition
+    band sweeps every offset) while the joint (s, dy) support stays thin —
+    the voxels feeding a given source plane form a band whose y-offsets
+    are few (census: tools/census_offsets.py).  The kernels iterate
+    exactly these per-s lists, cutting the executed (s, dy) combos to the
+    pairwise-joint count.
+
+    Computed on the unpadded fields like _tile_meta.  The joint presence
+    is one small matmul per tile: zhit (s_planes, N) x yhit (N, 2r+3).
+    """
+    s_planes = tz + 2 * (r + 1)
+    nb = 2 * r + 3
+    rows = jnp.arange(gz.shape[1], dtype=jnp.float32)[None, :, None]
+    ty = gy - rows
+    offs_s = jnp.arange(s_planes, dtype=jnp.float32)
+    offs_dy = jnp.arange(-(r + 1), r + 2, dtype=jnp.float32)
+    cols = []
+    for i in range(n_tiles):
+        z0 = i * tz
+        blk = slice(z0, min(z0 + tz, d))
+        s0 = min(max(z0 - (r + 1), 0), max(d - s_planes, 0))
+        gzb = (gz[blk] - s0).reshape(-1)
+        tyb = ty[blk].reshape(-1)
+        zhit = (jnp.abs(gzb[None, :] - offs_s[:, None]) < 1.0)
+        yhit = (jnp.abs(tyb[:, None] - offs_dy[None, :]) < 1.0)
+        joint = jax.lax.dot(zhit.astype(jnp.float32),
+                            yhit.astype(jnp.float32),
+                            preferred_element_type=jnp.float32) > 0.0
+        cnt, words = _pack_list(joint, _DW)
+        cols.append(jnp.concatenate([cnt[:, None], words], axis=1))
+    return jnp.stack(cols).astype(jnp.int32)
+
+
 def _tile_meta(gz: jnp.ndarray, gy: jnp.ndarray, *, tz: int, r: int,
                n_tiles: int, d: int) -> jnp.ndarray:
     """(n_tiles, 2 + _SW + _DW) int32 SMEM table for the warp kernels: the
@@ -275,7 +315,7 @@ def _tile_meta(gz: jnp.ndarray, gy: jnp.ndarray, *, tz: int, r: int,
 
 
 def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, pres_ref, meta_ref,
-                out_ref, slab, sem, *, d, h, w, wp, tz, r):
+                jmeta_ref, out_ref, slab, sem, *, d, h, w, wp, tz, r):
     s_planes = tz + 2 * (r + 1)          # slab depth
     yp = _ypad(r)
     hp = h + 2 * yp                      # y-padded slab height
@@ -300,9 +340,10 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, pres_ref, meta_ref,
     # packed offset lists from the precomputed SMEM meta (_tile_meta):
     # computed on the unpadded fields (pad lanes cannot inflate them), and
     # the loops below visit exactly the offsets with tent mass — no
-    # per-trip branches, no wasted tent-mass reductions
+    # per-trip branches, no wasted tent-mass reductions.  The dy loop is
+    # PER source plane (_joint_sdy_meta): in the saturated regime the
+    # marginal dy list is full but each plane's joint list stays thin
     ns = meta_ref[zi, 0]
-    ndy = meta_ref[zi, 1]
 
     # x interpolation support (exact): both trilinear taps ride ONE gather
     # plan — v1 at ix1 = clip(ix0+1), v0 from the one-lane-rolled plane at
@@ -322,9 +363,11 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, pres_ref, meta_ref,
     def z_body(j1, acc):
         s = _ldecode(meta_ref, zi, 2, j1)
         wz = _tent(gz - s.astype(jnp.float32))
+        ndy_s = jmeta_ref[zi, s, 0]
 
         def y_body(j2, acc):
-            dy = _ldecode(meta_ref, zi, 2 + _SW, j2) - (r + 1)
+            dy = (jax.lax.shift_right_logical(
+                jmeta_ref[zi, s, 1 + j2 // 6], 5 * (j2 % 6)) & 31) - (r + 1)
             y_src = rows + dy
             wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
                            _tent(ty - dy.astype(jnp.float32)), 0.0)
@@ -342,7 +385,7 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, pres_ref, meta_ref,
                 pltpu.roll(rolled, 1, 1), gz.shape), prep)
             return acc + wzy * (w0 * v0 + w1 * v1)
 
-        return jax.lax.fori_loop(0, ndy, y_body, acc)
+        return jax.lax.fori_loop(0, ndy_s, y_body, acc)
 
     # empty-slab skip: zero input planes contribute nothing (linear op) —
     # one-hot channels absent from this slab cost one scalar read
@@ -357,7 +400,7 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, pres_ref, meta_ref,
 # ------------------------------------------------------- backward: grid
 
 def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref, meta_ref,
-                     dgz_ref, dgy_ref, dgx_ref, slab, sem,
+                     jmeta_ref, dgz_ref, dgy_ref, dgx_ref, slab, sem,
                      *, d, h, w, wp, tz, r):
     s_planes = tz + 2 * (r + 1)
     yp = _ypad(r)
@@ -382,9 +425,8 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref, meta_ref,
     # packed offset lists (see _tile_meta / _fwd_kernel).  NB the tent
     # DERIVATIVE support equals the tent support (both vanish at
     # |t| >= 1, dwz/dwy are zero exactly where wz/wy are), so the same
-    # lists are exact for the gradient accumulation
+    # joint per-s lists (_joint_sdy_meta) are exact for the gradient
     ns = meta_ref[zi, 0]
-    ndy = meta_ref[zi, 1]
 
     ix0 = jnp.floor(gx).astype(jnp.int32)
     fx = gx - ix0.astype(jnp.float32)
@@ -404,9 +446,11 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref, meta_ref,
         wz = _tent(tz_f)
         # d tent(t)/dt = -sign(t) on |t|<1, 0 outside
         dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
+        ndy_s = jmeta_ref[zi, s, 0]
 
         def y_body(j2, accs):
-            dy = _ldecode(meta_ref, zi, 2 + _SW, j2) - (r + 1)
+            dy = (jax.lax.shift_right_logical(
+                jmeta_ref[zi, s, 1 + j2 // 6], 5 * (j2 % 6)) & 31) - (r + 1)
             az, ay, ax = accs
             k = jnp.mod(hp - (yp + dy), hp)
             rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
@@ -426,7 +470,7 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref, meta_ref,
             ax = ax + ct * wz * wy * dxv
             return az, ay, ax
 
-        return jax.lax.fori_loop(0, ndy, y_body, accs)
+        return jax.lax.fori_loop(0, ndy_s, y_body, accs)
 
     zero = jnp.zeros(gz.shape, jnp.float32)
     az, ay, ax = jax.lax.fori_loop(0, ns, z_body, (zero, zero, zero))
@@ -491,11 +535,13 @@ def _fwd_single(vol: jnp.ndarray, gz, gy, gx, *, tz: int, r: int,
                          memory_space=pltpu.VMEM)
     pres = _channel_presence(vol, tz, r, n_tiles, d)
     meta = _tile_meta(gz, gy, tz=tz, r=r, n_tiles=n_tiles, d=d)
+    jmeta = _joint_sdy_meta(gz, gy, tz=tz, r=r, n_tiles=n_tiles, d=d)
     out = pl.pallas_call(
         kern,
         grid=(n_tiles, nc),
         in_specs=[cspec, cspec, cspec,
                   pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((1, tz, hb, wp), lambda i, c: (c, i, 0, 0),
@@ -506,7 +552,7 @@ def _fwd_single(vol: jnp.ndarray, gz, gy, gx, *, tz: int, r: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*coords, volp, pres, meta)
+    )(*coords, volp, pres, meta, jmeta)
     return out[:, :d, :h, :w]
 
 
@@ -532,6 +578,7 @@ def _bwd_grid_single(vol, gz, gy, gx, ct, *, tz: int, r: int,
     kern = functools.partial(_bwd_grid_kernel, d=d, h=hb, w=w, wp=wp, tz=tz,
                              r=r)
     meta = _tile_meta(gz, gy, tz=tz, r=r, n_tiles=n_tiles, d=d)
+    jmeta = _joint_sdy_meta(gz, gy, tz=tz, r=r, n_tiles=n_tiles, d=d)
     spec = pl.BlockSpec((tz, hb, wp), lambda i, c: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     ct_spec = pl.BlockSpec((1, tz, hb, wp), lambda i, c: (c, i, 0, 0),
@@ -541,6 +588,7 @@ def _bwd_grid_single(vol, gz, gy, gx, ct, *, tz: int, r: int,
         grid=(n_tiles, nc),
         in_specs=[spec, spec, spec, ct_spec,
                   pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(spec, spec, spec),
         out_shape=tuple(jax.ShapeDtypeStruct((dp, hb, wp), jnp.float32)
@@ -550,7 +598,7 @@ def _bwd_grid_single(vol, gz, gy, gx, ct, *, tz: int, r: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*padded, volp, meta)
+    )(*padded, volp, meta, jmeta)
     return (dgz[:d, :h, :w], dgy[:d, :h, :w], dgx[:d, :h, :w])
 
 

@@ -100,6 +100,50 @@ class TestPallasBackward:
         np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                    atol=1e-3, rtol=1e-3)
 
+    def test_saturated_field_fwd_and_grads_match_xla(self, rng):
+        """Clamp-saturated field (plateaus at exactly +-max_disp voxels, a
+        smooth transition band sweeping every offset in between) — the
+        regime the per-source-plane JOINT offset lists (_joint_sdy_meta /
+        _plane_meta jdx) were built for.  Forward, volume-grad and
+        grid-grad must all match XLA on the clamped field."""
+        from deepatlas_tpu.ops import clamp_displacement
+        vol0 = jnp.asarray(rng.rand(1, D, H, W, 2).astype(np.float32))
+        disp = jnp.asarray(make_field(rng, 4.0 * R))  # 4x the bound
+        grid0 = disp + identity_grid_batch((1, D, H, W, 3))
+        grid_c = clamp_displacement(grid0, R)
+        # the clamp really saturates a large fraction per-axis
+        vox = np.abs(np.asarray(disp)) * (np.array([W, H, D]) - 1) / 2.0
+        assert (vox > R).mean() > 0.4
+        tangent = jnp.asarray(rng.rand(1, D, H, W, 2).astype(np.float32))
+
+        out_p = pallas_grid_sample(vol0, grid0, max_disp=R, z_tile=TZ,
+                                   interpret=True)
+        out_x = grid_sample(vol0, grid_c, mode="trilinear")
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                                   atol=1e-4, rtol=1e-4)
+
+        gv_p = jax.grad(lambda v: jnp.sum(pallas_grid_sample(
+            v, grid0, max_disp=R, z_tile=TZ, interpret=True)
+            * tangent))(vol0)
+        gv_x = jax.grad(lambda v: jnp.sum(
+            grid_sample(v, grid_c, mode="trilinear") * tangent))(vol0)
+        np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_x),
+                                   atol=1e-4, rtol=1e-4)
+
+        # grid-grad: compare on the CLAMPED field (both sides see the same
+        # coordinates; the clamp's own zero-gradient region is chained
+        # outside the kernel by clamp_displacement's vjp).  Perturb off the
+        # exactly-integral plateaus (tent kink, measure-zero) first.
+        grid_in = grid_c + 1e-3 * jnp.asarray(
+            make_field(rng, 0.4))
+        gg_p = jax.grad(lambda g: jnp.sum(pallas_grid_sample(
+            vol0, g, max_disp=R, z_tile=TZ, bound_mode="none",
+            interpret=True) * tangent))(grid_in)
+        gg_x = jax.grad(lambda g: jnp.sum(
+            grid_sample(vol0, g, mode="trilinear") * tangent))(grid_in)
+        np.testing.assert_allclose(np.asarray(gg_p), np.asarray(gg_x),
+                                   atol=1e-3, rtol=1e-3)
+
     def test_grad_wrt_vol_matches_xla(self, rng):
         vol0 = jnp.asarray(rng.rand(1, D, H, W, 1).astype(np.float32))
         disp = jnp.asarray(make_field(rng, 2.0))

@@ -51,9 +51,12 @@ def probe_fields(size, max_disp):
     ks = jax.random.split(key, 6)
     moving = jax.random.uniform(ks[0], (1, d, h, w, 1), jnp.float32)
     fixed = jax.random.uniform(ks[1], (1, d, h, w, 1), jnp.float32)
-    model = VoxelMorphCVPR2018(dtype=jnp.bfloat16, packed=True,
-                               use_pallas_warp=True, max_disp=max_disp)
-    variables = model.init(ks[5], moving, fixed)
+    # XLA trunk: the probe only needs a representative untrained field (the
+    # packed trunk is parity-pinned to this one, tests/test_packed_voxelmorph)
+    # and the packed model's eager init compiles every Pallas kernel
+    model = VoxelMorphCVPR2018(dtype=jnp.bfloat16, packed=False,
+                               use_pallas_warp=False, max_disp=max_disp)
+    variables = jax.jit(model.init)(ks[5], moving, fixed)
     probe = jax.jit(lambda v, m, f: model.apply(v, m, f)[0])
     disp = np.asarray(probe(variables, moving, fixed), np.float32)[0]
     ident = np.asarray(identity_grid_batch((1, d, h, w, 3)), np.float32)[0]
@@ -81,13 +84,21 @@ def strict_presence(t, offsets):
 
 
 def census_fwd(gz, gy, d, h, w, tz, r):
-    """Executed tile-ops for the warp forward under schemes A/B/C."""
+    """Executed tile-ops for the warp forward under schemes A/B/C, plus the
+    plateau partition E: voxels with BOTH gz and gy exactly integral (the
+    clamp plateaus — single tent offset per axis; x rides the exact gather
+    either way) are handled by a separate masked pass whose (s, dy) combos
+    are at most the few distinct integral offsets, and the interior lists
+    are computed on the remaining voxels only."""
     n_tiles = -(-d // tz)
     s_planes = tz + 2 * (r + 1)
     rows = np.arange(h, dtype=np.float32)[None, :, None]
     ty = gy - rows
     dys = np.arange(-(r + 1), r + 2)
     A = B = C = 0
+    E_int = 0   # interior-pass combos
+    E_pla = 0   # plateau-pass combos
+    plateau = (gz == np.floor(gz)) & (ty == np.floor(ty))
     per_voxel = 4 * d * h * w  # 2 z-taps x 2 y-taps per voxel
     for i in range(n_tiles):
         z0 = i * tz
@@ -95,6 +106,7 @@ def census_fwd(gz, gy, d, h, w, tz, r):
         s0 = min(max(z0 - (r + 1), 0), max(d - s_planes, 0))
         gzb = gz[blk] - s0
         tyb = ty[blk]
+        pl = plateau[blk]
         ps = strict_presence(gzb, np.arange(s_planes))
         pdy = strict_presence(tyb, dys)
         ns, ndy = ps.sum(), pdy.sum()
@@ -109,7 +121,20 @@ def census_fwd(gz, gy, d, h, w, tz, r):
             nz = np.nonzero(pdy_s)[0]
             B += int(nz[-1] - nz[0] + 1) if nz.size else 0  # contiguous rng
             C += int(pdy_s.sum())                           # exact list
+            # interior pass: same per-s dy list over non-plateau voxels
+            ivals = tyb[zmask & ~pl]
+            if ivals.size:
+                E_int += int(np.stack(
+                    [np.any((ivals > o - 1.0) & (ivals < o + 1.0))
+                     for o in dys]).sum())
+            # plateau pass: exact (s, dy) pairs among plateau voxels
+            pvals = tyb[zmask & pl]
+            if pvals.size:
+                E_pla += len(np.unique(pvals.astype(np.int64)))
+        pfrac = float(pl.mean())
     return {"A_tile_marginal": A, "B_pair_dy_range": B, "C_pair_dy_list": C,
+            "E_interior": E_int, "E_plateau": E_pla,
+            "plateau_fraction": round(float(plateau.mean()), 4),
             "ideal_voxel_ops_equiv": per_voxel / (tz * h * w)}
 
 
@@ -164,7 +189,10 @@ def census_splat(gz, gy, gx, d, h, w, r):
         return int(hit.sum())
 
     A = B = C = D = 0
+    E_int = 0
+    E_pla = 0
     dy_trips = 0
+    n_pla = 0
     for q in range(d):
         if q % 32 == 0:
             print(f"  splat census plane {q}/{d}", flush=True)
@@ -172,12 +200,25 @@ def census_splat(gz, gy, gx, d, h, w, r):
         txq = gx[q] - cols
         mty = -tyq   # offset coordinate: tent(tyq + dy) has mass at dy~mty
         mtx = -txq
-        slo, shi = max(0, int(np.floor(gz[q].min()))), \
-            min(d - 1, int(np.ceil(gz[q].max())))
+        # plateau: all three sample coordinates exactly integral (clamp
+        # plateaus) — a masked-shift pass handles them in <= #distinct
+        # integer (dz, dy, dx) triples; the interior pass sees the rest
+        gzq = gz[q]
+        pla = ((gzq == np.floor(gzq)) & (mty == np.floor(mty))
+               & (mtx == np.floor(mtx)))
+        n_pla += int(pla.sum())
+        slo, shi = max(0, int(np.floor(gzq.min()))), \
+            min(d - 1, int(np.ceil(gzq.max())))
         for s in range(slo, shi + 1):
-            zmask = np.abs(gz[q] - s) < 1.0
+            zmask = np.abs(gzq - s) < 1.0
             if not zmask.any():
                 continue
+            if (zmask & pla).any():
+                # distinct (dy, dx) integer pairs among plateau voxels
+                pairs = {(int(a), int(b)) for a, b in
+                         zip(mty[zmask & pla].astype(np.int64).ravel(),
+                             mtx[zmask & pla].astype(np.int64).ravel())}
+                E_pla += len(pairs)
             for j, dy in enumerate(dys):
                 if not dy_present_qdy[q, j]:
                     continue
@@ -189,8 +230,13 @@ def census_splat(gz, gy, gx, d, h, w, r):
                 B += int(dx_rng_qdy[q, j])
                 C += int(dx_cnt_qdy[q, j])
                 D += n_offsets(mtx[m])
+                mi = m & ~pla
+                if mi.any():
+                    E_int += n_offsets(mtx[mi])
     return {"dy_trips": dy_trips, "A_marginal_dx": A, "B_dx_range": B,
-            "C_dx_list": C, "D_exact_joint": D}
+            "C_dx_list": C, "D_exact_joint": D,
+            "E_interior": E_int, "E_plateau_pairs": E_pla,
+            "plateau_fraction": round(n_pla / (d * h * w), 4)}
 
 
 def main():
