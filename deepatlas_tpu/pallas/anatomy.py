@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.warp import clamp_displacement
 from .splat import pallas_splat
-from .warp import (LANE, _SW, _bwd_grid_single, _ceil_to,  # noqa: F401
+from .warp import (LANE, _JW, _SW, _bwd_grid_single, _ceil_to,  # noqa: F401
                    _default_interpret, _gather_pre, _joint_sdy_meta,
                    _ldecode, _pad_last, _prep_gather, _tent, _tile_meta,
                    _vox_coords, _wp_for, _ypad)
@@ -87,11 +87,12 @@ def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, meta_ref,
     def z_body(j1, acc):
         s = _ldecode(meta_ref, zi, 2, j1)
         wz = _tent(gz - s.astype(jnp.float32))
-        ndy_s = jmeta_ref[zi, s, 0]
+        ndy_s = jmeta_ref[zi, s * _JW]
 
         def y_body(j2, acc):
             dy = (jax.lax.shift_right_logical(
-                jmeta_ref[zi, s, 1 + j2 // 6], 5 * (j2 % 6)) & 31) - (r + 1)
+                jmeta_ref[zi, s * _JW + 1 + j2 // 6],
+                5 * (j2 % 6)) & 31) - (r + 1)
             y_src = rows + dy
             wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
                            _tent(ty - dy.astype(jnp.float32)), 0.0)
@@ -154,11 +155,12 @@ def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
         tz_f = gz - s.astype(jnp.float32)
         wz = _tent(tz_f)
         dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
-        ndy_s = jmeta_ref[zi, s, 0]
+        ndy_s = jmeta_ref[zi, s * _JW]
 
         def y_body(j2, accs):
             dy = (jax.lax.shift_right_logical(
-                jmeta_ref[zi, s, 1 + j2 // 6], 5 * (j2 % 6)) & 31) - (r + 1)
+                jmeta_ref[zi, s * _JW + 1 + j2 // 6],
+                5 * (j2 % 6)) & 31) - (r + 1)
             az, ay, ax = accs
             k = jnp.mod(hp - (yp + dy), hp)
             rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .warp import (LANE, _DW, _ceil_to, _floor_presence, _ldecode,
+from .warp import (LANE, _DW, _JW, _ceil_to, _floor_presence, _ldecode,
                    _pack_list, _pad_last, _tent)
 
 
@@ -41,6 +41,9 @@ def _plane_meta(gz, gy, gx, *, d: int, h: int, w: int, r: int):
       * ``src`` (d, 1 + _DW) int32 per source plane s: ``[nq, o-list
         words]`` — packed z-offsets ``o = s - q + r + 1`` of the receiver
         planes q with any z-tent mass toward s.
+      * ``jdx`` (d, nb * _JW) int32 per receiver plane q: for each row
+        offset dy, the joint ``[ndx, dx-list words]`` at stride _JW
+        (2-D on purpose — see the reshape note below).
     The kernel loops exactly these lists — zero-mass offsets cost nothing,
     not even a branch.
     """
@@ -87,7 +90,10 @@ def _plane_meta(gz, gy, gx, *, d: int, h: int, w: int, r: int):
     _, jdx = jax.lax.scan(
         plane_joint, 0,
         ((rows - gy).reshape(d, -1), (cols - gx).reshape(d, -1)))
-    return plane, src, jdx
+    # flatten to (d, nb * _JW): Mosaic tiles an SMEM window's trailing two
+    # dims to (8, 128), so the 3-D (d, nb, words) layout would pad
+    # words->128 (2 MiB at d=168) past the 1 MiB SMEM budget
+    return plane, src, jdx.reshape(d, -1)
 
 
 def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, pres_ref, meta_ref,
@@ -193,7 +199,7 @@ def _splat_work(gz_s, gy_s, gx_s, ct_s, rtent_s, meta_ref, smeta_ref,
                 # (_plane_meta jdx): in the saturated regime the marginal
                 # list is full but each dy-band's dx support stays thin
                 dyi = dy + (r + 1)
-                ndx_j = jdx_ref[q, dyi, 0]
+                ndx_j = jdx_ref[q, dyi * _JW]
 
                 def dy_work(acc):
                     # accumulate the x-offsets unshifted in y, then one row
@@ -201,7 +207,7 @@ def _splat_work(gz_s, gy_s, gx_s, ct_s, rtent_s, meta_ref, smeta_ref,
                     # work — saves dx_range-1 rolls per dy)
                     def dx_body(j2, acc_x):
                         dx = (jax.lax.shift_right_logical(
-                            jdx_ref[q, dyi, 1 + j2 // 6],
+                            jdx_ref[q, dyi * _JW + 1 + j2 // 6],
                             5 * (j2 % 6)) & 31) - (r + 1)
                         g = pltpu.roll(fy, jnp.mod(-dx, wp), 1)
                         return acc_x + g * rtent_s[dx + r + 1]

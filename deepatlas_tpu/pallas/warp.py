@@ -245,13 +245,18 @@ def _ldecode(meta_ref, row, base, j):
 #   [0] ns   [1] ndy   [2:2+SW] s-list words   [2+SW:2+SW+DW] dy-list words
 _SW = 6   # ceil(max s_planes = tz + 2(r+1) <= 31 entries / 6 per word)
 _DW = 4   # ceil(2r + 3 <= 19 entries / 6)
+_JW = 1 + _DW   # per-(s|dy) joint-list stride: [count, _DW words]
 
 
 def _joint_sdy_meta(gz: jnp.ndarray, gy: jnp.ndarray, *, tz: int, r: int,
                     n_tiles: int, d: int) -> jnp.ndarray:
-    """(n_tiles, s_planes, 1 + _DW) int32 SMEM table: PER source plane s of
+    """(n_tiles, s_planes * _JW) int32 SMEM table: PER source plane s of
     each tile, the packed list of row offsets ``dy + r + 1`` with JOINT
-    tent mass (some voxel has z-mass toward s AND y-mass at dy).
+    tent mass (some voxel has z-mass toward s AND y-mass at dy), at row
+    stride ``_JW = [count, words...]``.  Kept 2-D: Mosaic tiles the
+    trailing two dims of an SMEM window to (8, 128), so a 3-D
+    (tiles, s, words) layout would pad words->128 and blow the 1 MiB
+    SMEM budget at full volume size (168-plane MB101 volumes).
 
     The round-3 lists are per-tile MARGINALS (s-list x dy-list product);
     in the clamp-saturated regime both marginals are full (the transition
@@ -283,7 +288,8 @@ def _joint_sdy_meta(gz: jnp.ndarray, gy: jnp.ndarray, *, tz: int, r: int,
                             yhit.astype(jnp.float32),
                             preferred_element_type=jnp.float32) > 0.0
         cnt, words = _pack_list(joint, _DW)
-        cols.append(jnp.concatenate([cnt[:, None], words], axis=1))
+        cols.append(jnp.concatenate([cnt[:, None], words],
+                                    axis=1).reshape(-1))
     return jnp.stack(cols).astype(jnp.int32)
 
 
@@ -363,11 +369,12 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, pres_ref, meta_ref,
     def z_body(j1, acc):
         s = _ldecode(meta_ref, zi, 2, j1)
         wz = _tent(gz - s.astype(jnp.float32))
-        ndy_s = jmeta_ref[zi, s, 0]
+        ndy_s = jmeta_ref[zi, s * _JW]
 
         def y_body(j2, acc):
             dy = (jax.lax.shift_right_logical(
-                jmeta_ref[zi, s, 1 + j2 // 6], 5 * (j2 % 6)) & 31) - (r + 1)
+                jmeta_ref[zi, s * _JW + 1 + j2 // 6],
+                5 * (j2 % 6)) & 31) - (r + 1)
             y_src = rows + dy
             wy = jnp.where((y_src >= 0) & (y_src <= h - 1),
                            _tent(ty - dy.astype(jnp.float32)), 0.0)
@@ -402,6 +409,15 @@ def _fwd_kernel(gz_ref, gy_ref, gx_ref, vol_ref, pres_ref, meta_ref,
 def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref, meta_ref,
                      jmeta_ref, dgz_ref, dgy_ref, dgx_ref, slab, sem,
                      *, d, h, w, wp, tz, r):
+    """Gradient wrt the coordinate grid, tent-kernel form.
+
+    Subgradient convention at EXACTLY-integral coordinates (the tent
+    kink): this kernel returns 0 (``-sign(0)`` below), while XLA/torch's
+    floor rule returns the right derivative ``v[z0+1] - v[z0]``
+    (ref grid_sample, lib/network_factory/voxel_morph.py:90-91).  The
+    difference is confined to the measure-zero kink set, and on clamp
+    plateaus (where saturated fields sit exactly on integers) the
+    chained ``clamp_displacement`` vjp zeroes the grad either way."""
     s_planes = tz + 2 * (r + 1)
     yp = _ypad(r)
     hp = h + 2 * yp
@@ -446,11 +462,12 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref, meta_ref,
         wz = _tent(tz_f)
         # d tent(t)/dt = -sign(t) on |t|<1, 0 outside
         dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
-        ndy_s = jmeta_ref[zi, s, 0]
+        ndy_s = jmeta_ref[zi, s * _JW]
 
         def y_body(j2, accs):
             dy = (jax.lax.shift_right_logical(
-                jmeta_ref[zi, s, 1 + j2 // 6], 5 * (j2 % 6)) & 31) - (r + 1)
+                jmeta_ref[zi, s * _JW + 1 + j2 // 6],
+                5 * (j2 % 6)) & 31) - (r + 1)
             az, ay, ax = accs
             k = jnp.mod(hp - (yp + dy), hp)
             rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]

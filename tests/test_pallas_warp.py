@@ -133,9 +133,14 @@ class TestPallasBackward:
         # grid-grad: compare on the CLAMPED field (both sides see the same
         # coordinates; the clamp's own zero-gradient region is chained
         # outside the kernel by clamp_displacement's vjp).  Perturb off the
-        # exactly-integral plateaus (tent kink, measure-zero) first.
-        grid_in = grid_c + 1e-3 * jnp.asarray(
-            make_field(rng, 0.4))
+        # exactly-integral plateaus (tent kink) first — with a magnitude
+        # floor: at the kink the subgradient choices differ (the tent
+        # kernel returns 0, XLA's floor rule returns v[z1]-v[z0]) and a
+        # plain white-noise perturbation underflows float32 addition at a
+        # few dozen voxels, leaving them exactly on the kink.
+        pf = np.asarray(make_field(rng, 0.4))
+        pert = np.sign(pf + 1e-12) * (1e-4 + np.abs(pf))
+        grid_in = grid_c + jnp.asarray(pert.astype(np.float32))
         gg_p = jax.grad(lambda g: jnp.sum(pallas_grid_sample(
             vol0, g, max_disp=R, z_tile=TZ, bound_mode="none",
             interpret=True) * tangent))(grid_in)
