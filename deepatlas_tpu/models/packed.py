@@ -94,12 +94,17 @@ class PackedBatchNorm(nn.Module):
     """Per-channel BatchNorm on packed activations (torch semantics:
     momentum 0.9 running stats, eps 1e-5, biased batch variance — matching
     flax nn.BatchNorm as used by models/layers.py).  Statistics exclude the
-    W/H pad voxels."""
+    W/H pad voxels.
+
+    ``spatial_axis``: mesh-axis name when D is sharded over devices
+    (parallel/spatial.py) — batch moments then psum over the axis so the
+    statistics equal the unsharded model's."""
     c: int
-    n_valid: int                       # B*D*h*w valid voxels (static)
+    n_valid: int                       # B*D_local*h*w valid voxels (static)
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Any = None
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -116,8 +121,13 @@ class PackedBatchNorm(nn.Module):
             s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2))
             s = s.reshape(-1, c).sum(axis=0)
             s2 = s2.reshape(-1, c).sum(axis=0)
-            mean = s / self.n_valid
-            var = jnp.maximum(s2 / self.n_valid - jnp.square(mean), 0.0)
+            n_valid = self.n_valid
+            if self.spatial_axis is not None:
+                s = jax.lax.psum(s, self.spatial_axis)
+                s2 = jax.lax.psum(s2, self.spatial_axis)
+                n_valid = n_valid * jax.lax.axis_size(self.spatial_axis)
+            mean = s / n_valid
+            var = jnp.maximum(s2 / n_valid - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value \
                     + (1 - self.momentum) * mean
@@ -141,7 +151,15 @@ class PackedConvBlock(nn.Module):
     ``in_features`` may be a tuple: the input is then a tuple of packed
     activations whose channel-concat this block convolves (skip connections
     never materialize a packed concat — conv(concat(a, b)) = conv_a(a) +
-    conv_b(b))."""
+    conv_b(b)).
+
+    ``spatial_axis``: mesh-axis name when D is depth-sharded
+    (parallel/spatial.py).  The packed layout keeps D as a plain array
+    axis, so the composition is direct: each input halo-exchanges one
+    neighbour plane (ops/halo.py), the kernel's implicit zero D padding
+    then lands on the discarded halo-adjacent outputs, and slicing the
+    interior planes reproduces the unsharded SAME conv exactly (global
+    edges receive zero halos = the volume's zero padding)."""
     features: int
     in_features: Any                   # int or tuple of ints
     spec: Any                          # PackedSpec or tuple of PackedSpec
@@ -151,6 +169,7 @@ class PackedConvBlock(nn.Module):
     act: str = "ReLU"
     dtype: Any = None
     interpret: Optional[bool] = None
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x: Any, train: bool = False) -> jnp.ndarray:
@@ -166,6 +185,7 @@ class PackedConvBlock(nn.Module):
             "kernel", conv_kernel_init,
             (ks, ks, ks, sum(cins), self.features), jnp.float32)
         co_eff = effective_cout(self.features, specs)
+        halo = 1 if (self.spatial_axis is not None and ks == 3) else 0
         out = None
         off = 0
         for xi, ci, sp in zip(ins, cins, specs):
@@ -177,6 +197,9 @@ class PackedConvBlock(nn.Module):
             if co_eff != self.features:
                 kpart = jnp.pad(kpart, [(0, 0)] * 4
                                 + [(0, co_eff - self.features)])
+            if halo:
+                from ..ops.halo import halo_exchange_d
+                xi = halo_exchange_d(xi, self.spatial_axis, halo)
             parts = []
             for b in range(xi.shape[0]):
                 parts.append(packed_conv3d(
@@ -185,6 +208,10 @@ class PackedConvBlock(nn.Module):
                     interpret=self.interpret))
             y = jnp.stack(parts)
             out = y if out is None else out + y
+        if halo:
+            # the kernel's zero D padding fell on the halo-adjacent output
+            # planes; the interior equals the unsharded SAME conv
+            out = out[:, halo:-halo]
         sp0 = specs[0]
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
@@ -198,8 +225,8 @@ class PackedConvBlock(nn.Module):
                     "BN on non-power-of-two channel counts in packed "
                     "layout — pad the plan or disable BN on this block")
             n_valid = out.shape[0] * out.shape[1] * sp0.h * sp0.w
-            out = PackedBatchNorm(co_eff, n_valid,
-                                  dtype=self.dtype)(out, train)
+            out = PackedBatchNorm(co_eff, n_valid, dtype=self.dtype,
+                                  spatial_axis=self.spatial_axis)(out, train)
         out = get_activation(self.act)(out)
         # restore the zero pad region (bias/BN shift it; the next conv's
         # edge taps read it as volume zero padding).  Pad *channels* are
@@ -214,7 +241,9 @@ class PackedConvBlock(nn.Module):
 
 class PackedDeconvBlock(nn.Module):
     """ConvTranspose3d(k2 s2) + bias + optional BN + activation, packed.
-    Doubles D, h, w (stored H doubles too, so sublane alignment holds)."""
+    Doubles D, h, w (stored H doubles too, so sublane alignment holds).
+    kernel == stride makes it shard-local under depth sharding;
+    ``spatial_axis`` only routes the BatchNorm moment reduction."""
     features: int
     in_features: int
     spec: PackedSpec
@@ -223,6 +252,7 @@ class PackedDeconvBlock(nn.Module):
     act: str = "ReLU"
     dtype: Any = None
     interpret: Optional[bool] = None
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -247,8 +277,8 @@ class PackedDeconvBlock(nn.Module):
             out = out + jnp.tile(bias, out_spec.w_stored).astype(out.dtype)
         if self.batchnorm:
             n_valid = out.shape[0] * out.shape[1] * out_spec.h * out_spec.w
-            out = PackedBatchNorm(self.features, n_valid,
-                                  dtype=self.dtype)(out, train)
+            out = PackedBatchNorm(self.features, n_valid, dtype=self.dtype,
+                                  spatial_axis=self.spatial_axis)(out, train)
         out = get_activation(self.act)(out)
         out = jnp.where(_pad_mask(out_spec, self.features), out,
                         jnp.zeros((), out.dtype))

@@ -129,11 +129,10 @@ class UNetTemplate(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        if self.spatial_axis is not None and (self.packed or self.upsample):
+        if self.spatial_axis is not None and self.upsample:
             raise ValueError(
-                "spatial_axis is not supported with packed execution or "
-                "trilinear upsampling yet (cross-shard interpolation); use "
-                "the XLA conv path with deconv upsamplers")
+                "spatial_axis is not supported with trilinear upsampling "
+                "(cross-shard interpolation); use deconv upsamplers")
         if self.packed:
             return self._packed_call(x, train)
         CB = _maybe_remat(ConvBlock, self.remat)
@@ -231,7 +230,8 @@ class UNetTemplate(nn.Module):
                 use_bias=self.bias,
                 batchnorm=self.BN if bn is None else bn,
                 act=self.act if act is None else act, dtype=self.dtype,
-                interpret=self.interpret)(h, train)
+                interpret=self.interpret,
+                spatial_axis=self.spatial_axis)(h, train)
 
         # ---- packed encoder levels
         xp, spec = pack(x.astype(self.dtype or x.dtype))
@@ -255,7 +255,8 @@ class UNetTemplate(nn.Module):
         for i in range(nl, levels):
             for f in self.encoders[i][1:]:
                 h = CB(f, 3, 1, 1, use_bias=self.bias, batchnorm=self.BN,
-                       act=self.act, dtype=self.dtype)(h, train)
+                       act=self.act, dtype=self.dtype,
+                       spatial_axis=self.spatial_axis)(h, train)
                 cin = f
             if i < levels - 1:
                 xla_skips.append(h)
@@ -267,14 +268,15 @@ class UNetTemplate(nn.Module):
             if out_level >= nl:
                 # fully XLA level
                 h = DB(dec_plan[0], 2, 2, use_bias=self.bias,
-                       batchnorm=self.BN, act=self.act,
-                       dtype=self.dtype)(h, train)
+                       batchnorm=self.BN, act=self.act, dtype=self.dtype,
+                       spatial_axis=self.spatial_axis)(h, train)
                 skip = xla_skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 for f in dec_plan[1:]:
                     h = CB(f, 3, 1, 1, use_bias=self.bias,
                            batchnorm=self.BN, act=self.act,
-                           dtype=self.dtype)(h, train)
+                           dtype=self.dtype,
+                           spatial_axis=self.spatial_axis)(h, train)
                 cin = dec_plan[-1] if len(dec_plan) > 1 else dec_plan[0]
                 continue
             # packed level: upsample into the packed domain
@@ -286,7 +288,8 @@ class UNetTemplate(nn.Module):
             up = PackedDeconvBlock(
                 dec_plan[0], cin, spec, use_bias=self.bias,
                 batchnorm=self.BN, act=self.act, dtype=self.dtype,
-                interpret=self.interpret)(xp, train)
+                interpret=self.interpret,
+                spatial_axis=self.spatial_axis)(xp, train)
             from .packed import PackedSpec
             spec = PackedSpec(next_pow2(dec_plan[0]), 2 * spec.w,
                               2 * spec.w_stored, 2 * spec.h,

@@ -17,11 +17,20 @@ memory lever, border cropping + patch training (lib/transforms.py:124-158,
 
 Constraints (checked at trace time): the PER-SHARD depth must satisfy the
 U-Net's divisibility rule (D divisible by n_shards * 2^(levels-1)) and
-stay >= 1 plane at the deepest level; the model must run the XLA conv path
-(``packed=False``) with deconv upsamplers.  Composes with data parallelism
-on an (data, space) mesh: batch shards over ``data``, depth over
-``space`` — ``make_spatial_seg_step`` accepts any mesh containing the
-named spatial axis and psums metrics over both axes.
+stay >= 1 plane at the deepest level; upsamplers must be deconvs (kernel
+== stride, shard-local).  Composes with data parallelism on an
+(data, space) mesh: batch shards over ``data``, depth over ``space`` —
+``make_spatial_seg_step`` accepts any mesh containing the named spatial
+axis and psums metrics over both axes.
+
+The U-Net may run either conv path: XLA (``packed=False``) or the
+lane-packed Pallas tier (``packed=True``, models/packed.py) — the packed
+layout keeps D as a plain array axis, so each packed conv halo-exchanges
+one plane and slices the interior of the kernel's implicit zero-padded
+output, and PackedBatchNorm psums its moments over the axis.  Depth
+shards are just smaller volumes; the perf tier is not forfeited when the
+volume outgrows a chip.  (VoxelMorph trunks stay XLA under spatial
+sharding: the packed stride-2 path is not halo-composed yet.)
 """
 from __future__ import annotations
 
@@ -69,7 +78,7 @@ def make_spatial_seg_step(model, criterion_factory: Callable, n_class: int,
     """Jitted supervised seg train step on depth-sharded volumes.
 
     Args:
-      model: a ``UNetTemplate``-family module (``packed=False``).
+      model: a ``UNetTemplate``-family module (XLA or packed conv path).
       criterion_factory: ``get_loss_function("dice")``-style factory taking
         keyword args incl. ``axis_name`` (losses/__init__.py).
       mesh: mesh containing ``axis`` (and ``data_axis`` if given).

@@ -53,8 +53,8 @@ def main():
     ap.add_argument("--spatial-shards", type=int, default=0,
                     help="EXACT whole-volume inference depth-sharded over "
                          "this many devices (parallel/spatial.py) instead "
-                         "of overlap tiles — no stitch seams; requires "
-                         "--no-packed and D divisible by shards x 8")
+                         "of overlap tiles — no stitch seams; requires D "
+                         "divisible by shards x 8 (packed or XLA convs)")
     args = ap.parse_args()
 
     from deepatlas_tpu.utils.platform import honor_platform_env
@@ -99,9 +99,6 @@ def main():
 
     spatial_fwd = None
     if args.spatial_shards > 1:
-        if args.packed:
-            raise SystemExit("--spatial-shards needs --no-packed (the "
-                             "spatial tier halo-exchanges XLA convs)")
         from jax.sharding import Mesh
 
         from deepatlas_tpu.parallel import make_spatial_seg_forward

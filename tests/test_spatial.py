@@ -142,9 +142,9 @@ def test_spatial_with_data_parallel(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
-def test_spatial_rejects_packed_and_upsample():
+def test_spatial_rejects_upsample():
     m = UNetTemplate(encoders=((2, 4), (4, 4)), decoders=((4, 4, 4),),
-                     in_channel=1, n_classes=3, packed=True)
+                     in_channel=1, n_classes=3, upsample=True)
     mesh = space_mesh(2)
     with pytest.raises(ValueError, match="spatial_axis is not supported"):
         fwd = make_spatial_seg_forward(m, mesh)
@@ -153,6 +153,67 @@ def test_spatial_rejects_packed_and_upsample():
                                      decoders=((4, 4, 4),), in_channel=1,
                                      n_classes=3), x)
         fwd(st, shard_volume_batch(x, mesh))
+
+
+def packed_small_model(BN=True):
+    """A packed-tier small U-Net (packed_levels=1 packs the top level; the
+    deeper level + transition stay XLA — the packed/XLA seam is exactly
+    what the halo composition must preserve).  Channel counts are powers
+    of two >= 8: packed BN floors lane groups at 8 (models/packed.py
+    effective_cout)."""
+    return UNetTemplate(encoders=((8, 8), (8, 8)), decoders=((8, 8, 8),),
+                        in_channel=1, n_classes=3, bias=not BN, BN=BN,
+                        act="LeakyReLU", packed=True, packed_levels=1,
+                        interpret=True)
+
+
+def test_spatial_packed_forward_matches_single(rng):
+    """Depth-sharded PACKED forward == single-device packed forward: the
+    packed conv halo-exchanges D planes and slices the interior of the
+    kernel's zero-padded output (round-3 VERDICT next #5 — the spatial
+    tier no longer forfeits the Pallas perf layer)."""
+    model = packed_small_model(BN=True)
+    # W=32: the packed deconv's 8-channel w-group is 16, so the half-res
+    # level needs stored W 16 (pallas/deconv3d.py::deconv_w_blk)
+    x = jnp.asarray(rng.rand(1, 16, 8, 32, 1).astype(np.float32))
+    state = make_state(model, x)
+    ref = model.apply({"params": state.params,
+                       "batch_stats": state.batch_stats}, x, train=False)
+
+    mesh = space_mesh(4)
+    fwd = make_spatial_seg_forward(model, mesh)
+    out = fwd(state, shard_volume_batch(x, mesh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_spatial_packed_step_matches_single(rng):
+    """Depth-sharded PACKED train step == single-device packed step (loss,
+    params, BN stats) — PackedBatchNorm moments psum over the axis, conv
+    gradients flow back through the halo exchange."""
+    model = packed_small_model(BN=True)
+    x = jnp.asarray(rng.rand(1, 16, 8, 32, 1).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 3, (1, 16, 8, 32)).astype(np.int32))
+
+    factory = get_loss_function("dice")
+    crit = factory(n_class=3, weight_type="Uniform", softmax=True)
+    state_ref = make_state(model, x)
+    sr, loss_ref, _ = make_seg_train_step(crit)(state_ref, x, labels)
+
+    mesh = space_mesh(4)
+    state_sp = make_state(model, x)
+    sp_step = make_spatial_seg_step(
+        model, factory, n_class=3, mesh=mesh,
+        criterion_kwargs=dict(weight_type="Uniform", softmax=True))
+    xs, ls = shard_volume_batch((x, labels), mesh)
+    ss, loss_sp, _ = sp_step(state_sp, xs, ls)
+
+    np.testing.assert_allclose(float(loss_sp), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ss.params),
+                    jax.tree_util.tree_leaves(sr.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ss.batch_stats),
+                    jax.tree_util.tree_leaves(sr.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
 def test_spatial_fixed_unet_forward(rng):

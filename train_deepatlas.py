@@ -32,14 +32,14 @@ def build_config(args) -> dict:
 
         seg_model="UNet_light",
         # packed: the lane-packed Pallas conv path (pallas/conv3d.py) —
-        # full-size 168x200x168 joint training fits one chip with it
-        # --spatial-shards forces the XLA trunks (the spatial tier halo-
-        # exchanges XLA convs and warps; parallel/spatial.py)
+        # full-size 168x200x168 joint training fits one chip with it.
+        # The SEG model stays packed under --spatial-shards (packed convs
+        # halo-compose, models/packed.py); the reg trunk + warp fall back
+        # to the halo'ed XLA path (parallel/spatial.py)
         seg_model_settings={"in_channel": 1, "n_classes": n_classes,
                             "bias": True, "BN": True,
                             "dtype": "bfloat16",
-                            "packed": not args.no_packed
-                            and not args.spatial_shards},
+                            "packed": not args.no_packed},
         reg_model="voxel_morph_cvpr",
         reg_model_settings={"use_pallas_warp": not args.spatial_shards,
                             "max_disp": args.max_disp,
@@ -128,8 +128,9 @@ def main():
     parser.add_argument("--spatial-shards", type=int, default=0,
                         help="depth-shard whole volumes over this many "
                              "devices (parallel/spatial.py soft-path joint "
-                             "steps; requires the XLA trunks: --no-packed "
-                             "and XLA warps)")
+                             "steps; the seg U-Net keeps the packed Pallas "
+                             "convs, the reg trunk + warp use the halo'ed "
+                             "XLA path)")
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--no-packed", action="store_true",
                         help="disable the packed Pallas conv path (use XLA "

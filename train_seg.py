@@ -100,8 +100,8 @@ def main():
                              "(parallel/dp.py; batch_size must divide)")
     parser.add_argument("--spatial-shards", type=int, default=0,
                         help="depth-shard whole volumes over this many "
-                             "devices (parallel/spatial.py; needs the XLA "
-                             "conv path, --no-packed)")
+                             "devices (parallel/spatial.py; composes with "
+                             "the packed Pallas conv path)")
     parser.add_argument("--data-root", "-root", default="./data", type=str,
                         help="root of the data folder")
     parser.add_argument("--log-root", "-log", default="./logs", type=str,
