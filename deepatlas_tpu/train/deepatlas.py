@@ -213,15 +213,14 @@ class DeepAtlasExperiment(BaseExperiment):
                 raise ValueError(f"spatial_shards={sp} needs {sp} devices, "
                                  f"have {jax.device_count()}")
             if self.config.get("use_pallas_warp", True) \
-                    or self.config.get("seg_model_settings", {}).get(
-                        "packed") \
                     or self.config.get("reg_model_settings", {}).get(
                         "packed"):
                 raise ValueError(
-                    "spatial_shards requires the XLA trunks — set "
-                    "use_pallas_warp=False and packed=False on both models "
-                    "(the spatial warp is clamp-bounded like the Pallas "
-                    "path, ops/halo.py)")
+                    "spatial_shards requires the XLA registration trunk — "
+                    "set use_pallas_warp=False and packed=False on the reg "
+                    "model (the spatial warp is clamp-bounded like the "
+                    "Pallas path, ops/halo.py).  The SEG model may stay "
+                    "packed: its convs halo-compose (models/packed.py)")
             if (self.config.get("sim_loss", "lncc"), self.config.get(
                     "reg_loss", "bendingEnergy"),
                     self.config.get("seg_loss", "dice")) != (
@@ -364,7 +363,22 @@ class DeepAtlasExperiment(BaseExperiment):
         print("Start Training:")
         for _ in range(self.current_epoch, self.config["n_epochs"] + 1):
             self.train_one_epoch()
-            self.validate()
+            is_best = self.validate()
+            # periodic save independent of the validation cadence (a run
+            # that never validates must still leave a checkpoint)
+            if self.current_epoch % self.config["save_ckpts_epoch_period"] \
+                    == 0:
+                save_checkpoint(
+                    {"epoch": self.current_epoch,
+                     "seg_params": self.seg_state.params,
+                     "seg_batch_stats": self.seg_state.batch_stats,
+                     "seg_opt_state": self.seg_state.opt_state,
+                     "reg_params": self.reg_state.params,
+                     "reg_opt_state": self.reg_state.opt_state,
+                     "seg_best_score": self.seg_best_score,
+                     "reg_best_score": self.reg_best_score,
+                     "scheduler": self.scheduler.state_dict()},
+                    bool(is_best), self.ckpoint_dir)
             self.current_epoch += 1
         self.close()
         print("Finished Training: {}".format(self.exp_name))
@@ -501,18 +515,7 @@ class DeepAtlasExperiment(BaseExperiment):
               .format(seg_dice, reg_dice, time.time() - start,
                       datetime.datetime.now().strftime("%D %H:%M:%S")))
 
-        if self.current_epoch % self.config["save_ckpts_epoch_period"] == 0:
-            save_checkpoint(
-                {"epoch": self.current_epoch,
-                 "seg_params": self.seg_state.params,
-                 "seg_batch_stats": self.seg_state.batch_stats,
-                 "seg_opt_state": self.seg_state.opt_state,
-                 "reg_params": self.reg_state.params,
-                 "reg_opt_state": self.reg_state.opt_state,
-                 "seg_best_score": self.seg_best_score,
-                 "reg_best_score": self.reg_best_score,
-                 "scheduler": self.scheduler.state_dict()},
-                seg_best or reg_best, self.ckpoint_dir)
+        return seg_best or reg_best
 
     def _write_image_summaries(self):
         """Seg + registration TensorBoard image panels for the first

@@ -214,7 +214,17 @@ class RegistrationExperiment(BaseExperiment):
         print("Start Training:")
         for _ in range(self.current_epoch, self.config["n_epochs"] + 1):
             self.train_one_epoch()
-            self.validate()
+            is_best = self.validate()
+            # periodic save independent of the validation cadence (a run
+            # that never validates must still leave a checkpoint)
+            if self.current_epoch % self.config["save_ckpts_epoch_period"] \
+                    == 0:
+                save_checkpoint({"epoch": self.current_epoch,
+                                 "params": self.state.params,
+                                 "opt_state": self.state.opt_state,
+                                 "reg_best_score": self.best_score,
+                                 "scheduler": self.scheduler.state_dict()},
+                                bool(is_best), self.ckpoint_dir)
             self.current_epoch += 1
         self.close()
         print("Finished Training: {}".format(self.exp_name))
@@ -307,13 +317,7 @@ class RegistrationExperiment(BaseExperiment):
         print("Validation: Dice Avg: {:.4f} folding {:.5f} ({:.3f} sec) {}"
               .format(dice_avg, folding, time.time() - start,
                       datetime.datetime.now().strftime("%D %H:%M:%S")))
-        if self.current_epoch % self.config["save_ckpts_epoch_period"] == 0:
-            save_checkpoint({"epoch": self.current_epoch,
-                             "params": self.state.params,
-                             "opt_state": self.state.opt_state,
-                             "reg_best_score": self.best_score,
-                             "scheduler": self.scheduler.state_dict()},
-                            is_best, self.ckpoint_dir)
+        return is_best
 
     def _write_image_summaries(self):
         """TensorBoard image panels for the first validation pair: the

@@ -166,10 +166,6 @@ class SegmentationExperiment(BaseExperiment):
             if jax.device_count() < sp:
                 raise ValueError(f"spatial_shards={sp} needs {sp} devices, "
                                  f"have {jax.device_count()}")
-            if getattr(self.model, "packed", False):
-                raise ValueError(
-                    "spatial_shards requires the XLA conv path — set "
-                    "model_settings['packed']=False")
             if self.config.get("data_parallel"):
                 raise ValueError(
                     "spatial_shards and data_parallel are exclusive in the "
@@ -266,7 +262,19 @@ class SegmentationExperiment(BaseExperiment):
                     self.train_one_epoch()
             else:
                 self.train_one_epoch()
-            self.validate()
+            is_best = self.validate()
+            # the periodic save is NOT gated on the validation cadence:
+            # a run whose epochs never hit valid_epoch_period must still
+            # leave a checkpoint for test()/resume
+            if self.current_epoch % self.config["save_ckpts_epoch_period"] \
+                    == 0:
+                save_checkpoint({"epoch": self.current_epoch,
+                                 "params": self.state.params,
+                                 "batch_stats": self.state.batch_stats,
+                                 "opt_state": self.state.opt_state,
+                                 "best_score": self.best_score,
+                                 "scheduler": self.scheduler.state_dict()},
+                                bool(is_best), self.ckpoint_dir)
             self.current_epoch += 1
         self.close()
         print("Finished Training: {}".format(self.exp_name))
@@ -375,14 +383,7 @@ class SegmentationExperiment(BaseExperiment):
             dice_avg, time.time() - start,
             datetime.datetime.now().strftime("%D %H:%M:%S")))
 
-        if self.current_epoch % self.config["save_ckpts_epoch_period"] == 0:
-            save_checkpoint({"epoch": self.current_epoch,
-                             "params": self.state.params,
-                             "batch_stats": self.state.batch_stats,
-                             "opt_state": self.state.opt_state,
-                             "best_score": self.best_score,
-                             "scheduler": self.scheduler.state_dict()},
-                            is_best, self.ckpoint_dir)
+        return is_best
 
     # -------------------------------------------------------------- test
     def setup_test_data(self):

@@ -21,13 +21,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    # sync by pulling a SCALAR: np.asarray of a big array (e.g. fwd logits,
+    # ~360 MB) drags it through the axon tunnel and dominates the timing
+    np.asarray(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+
+
 def timed(fn, *a, iters=5):
     out = fn(*a)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    _sync(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*a)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    _sync(out)
     return (time.time() - t0) / iters * 1e3
 
 
