@@ -119,7 +119,11 @@ def main():
     seg_model = UNetLight(in_channel=1, n_classes=nc, bias=True, BN=True,
                           dtype=jnp.bfloat16, packed=True)
     seg_vars = seg_model.init(ks[4], moving, train=False)
-    seg_params, seg_bn = seg_vars["params"], seg_vars.get("batch_stats", {})
+    # keep the master copy on HOST: the seg step donates its state, which
+    # deletes the device buffers — each build() below must re-put fresh
+    # ones or the second field regime reads deleted arrays
+    seg_params = jax.device_get(seg_vars["params"])
+    seg_bn = jax.device_get(seg_vars.get("batch_stats", {}))
 
     sim = get_loss_function("lncc")(filter_size=9)
     reg_l = get_loss_function("bendingEnergy")()
@@ -134,8 +138,9 @@ def main():
                                        flow_scale=flow_scale)
         reg_vars = reg_model.init(ks[5], moving, fixed)
         seg_state = TrainState.create(
-            apply_fn=seg_model.apply, params=seg_params,
-            batch_stats=seg_bn, tx=make_optimizer(1e-3))
+            apply_fn=seg_model.apply,
+            params=jax.device_put(seg_params),
+            batch_stats=jax.device_put(seg_bn), tx=make_optimizer(1e-3))
         reg_state = TrainState.create(
             apply_fn=reg_model.apply, params=reg_vars["params"],
             batch_stats={}, tx=make_optimizer(1e-3))
