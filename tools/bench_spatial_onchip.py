@@ -69,12 +69,16 @@ def main():
     x = jax.random.uniform(key, (1, d, h, w, 1), jnp.float32)
     labels = jax.random.randint(jax.random.fold_in(key, 1), (1, d, h, w),
                                 0, nc, jnp.int32)
-    variables = model.init(jax.random.fold_in(key, 2), x, train=False)
+    # master copy on HOST: the train steps donate their state arg, which
+    # deletes the device buffers — each fresh_state() re-puts fresh ones
+    variables = jax.device_get(
+        model.init(jax.random.fold_in(key, 2), x, train=False))
 
     def fresh_state():
         return TrainState.create(
-            apply_fn=model.apply, params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}),
+            apply_fn=model.apply,
+            params=jax.device_put(variables["params"]),
+            batch_stats=jax.device_put(variables.get("batch_stats", {})),
             tx=make_optimizer(1e-3))
 
     factory = get_loss_function("dice")
