@@ -374,6 +374,12 @@ def hard_anatomy_dice(lab_m: jnp.ndarray, lab_f: jnp.ndarray,
     """
     if interpret is None:
         interpret = _default_interpret()
+    from .warp import MAX_PACKED_DISP
+    if max_disp > MAX_PACKED_DISP:
+        raise ValueError(
+            f"max_disp={max_disp} exceeds the packed offset-list bound "
+            f"(MAX_PACKED_DISP={MAX_PACKED_DISP}); use the dense XLA "
+            f"anatomy composition for wider displacement bounds")
     b, d, h, w = lab_m.shape
     if d < z_tile + 2 * (max_disp + 1):
         # shrink the z-tile to fit shallow volumes (same as

@@ -243,6 +243,12 @@ def pallas_splat(ct: jnp.ndarray, gz, gy, gx, *, d: int, h: int, w: int,
     The adjoint of _fwd_single for displacements bounded by ``r`` voxels
     (all axes — x included, unlike the forward, whose x-gather is exact).
     """
+    from .warp import MAX_PACKED_DISP
+    if r > MAX_PACKED_DISP:
+        raise ValueError(
+            f"r={r} exceeds the packed offset-list bound "
+            f"(MAX_PACKED_DISP={MAX_PACKED_DISP}); use the XLA warp VJP "
+            f"for wider displacement bounds")
     nc = ct.shape[0]
     wp = _ceil_to(w, LANE)
     hb = _ceil_to(h, 8)

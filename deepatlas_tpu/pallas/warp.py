@@ -247,6 +247,12 @@ _SW = 6   # ceil(max s_planes = tz + 2(r+1) <= 31 entries / 6 per word)
 _DW = 4   # ceil(2r + 3 <= 19 entries / 6)
 _JW = 1 + _DW   # per-(s|dy) joint-list stride: [count, _DW words]
 
+# the largest max_disp the 5-bit packed list scheme can express:
+# dy entries 2r+3 <= 6*_DW = 24 and s_planes = tz + 2(r+1) <= 31 at the
+# default tz=8 both give r <= 10.  Callers needing wider bounds use the
+# exact XLA warp (the overflow guard's escalate path converts to it).
+MAX_PACKED_DISP = 10
+
 
 def _joint_sdy_meta(gz: jnp.ndarray, gy: jnp.ndarray, *, tz: int, r: int,
                     n_tiles: int, d: int) -> jnp.ndarray:
@@ -737,6 +743,11 @@ def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
                          f"{bound_mode!r}")
     if grad not in ("full", "values"):
         raise ValueError(f"grad must be 'full' or 'values', got {grad!r}")
+    if max_disp > MAX_PACKED_DISP:
+        raise ValueError(
+            f"max_disp={max_disp} exceeds the packed offset-list bound "
+            f"(MAX_PACKED_DISP={MAX_PACKED_DISP}); use the XLA warp "
+            f"(ops/warp.py grid_sample) for wider displacement bounds")
     if interpret is None:
         interpret = _default_interpret()
     b, d, h, w, c = vol.shape

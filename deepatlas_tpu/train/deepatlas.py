@@ -299,16 +299,28 @@ class DeepAtlasExperiment(BaseExperiment):
                   .format(self.overflow_guard.patience, md))
             return
         if action["action"] == "escalate":
+            from ..pallas.warp import MAX_PACKED_DISP
             new_md = action["max_disp"]
-            print("=> disp_overflow persistent: escalating max_disp "
-                  "{} -> {} and re-jitting the phase steps".format(
-                      md, new_md))
-            self.config["max_disp"] = new_md
-            rs = dict(self.config.get("reg_model_settings", {}))
-            if "max_disp" in rs or rs.get("use_pallas_warp"):
-                rs["max_disp"] = new_md
-                self.config["reg_model_settings"] = rs
-        else:  # "xla"
+            if new_md > MAX_PACKED_DISP:
+                # the Pallas kernels' packed offset lists cap at
+                # MAX_PACKED_DISP voxels; past it the exact remedy is the
+                # unbounded XLA warp (the reference's grid_sample
+                # semantics, voxel_morph.py:90-91)
+                print("=> disp_overflow persistent: requested max_disp {} "
+                      "exceeds the Pallas kernels' packed-list bound ({}) "
+                      "— switching to the unbounded XLA warp instead"
+                      .format(new_md, MAX_PACKED_DISP))
+                action = {"action": "xla"}
+            else:
+                print("=> disp_overflow persistent: escalating max_disp "
+                      "{} -> {} and re-jitting the phase steps".format(
+                          md, new_md))
+                self.config["max_disp"] = new_md
+                rs = dict(self.config.get("reg_model_settings", {}))
+                if "max_disp" in rs or rs.get("use_pallas_warp"):
+                    rs["max_disp"] = new_md
+                    self.config["reg_model_settings"] = rs
+        if action["action"] == "xla":
             print("=> disp_overflow persistent: switching to the unbounded "
                   "XLA warp path and re-jitting")
             self.config["use_pallas_warp"] = False

@@ -462,12 +462,14 @@ class TestSpatialExperiment:
         config.update(spatial_shards=2, data_parallel=True)
         with pytest.raises(ValueError, match="exclusive"):
             SegmentationExperiment(config).train()
+        # packed now COMPOSES with spatial sharding (round-4:
+        # models/packed.py spatial_axis; parity in tests/test_spatial.py
+        # test_spatial_packed_*) — the old "XLA conv path" rejection is
+        # gone.  The remaining criterion guard still fires:
         config = tiny_config(tmp_path, n_epochs=1)
-        config.update(spatial_shards=2,
-                      model_settings={"in_channel": 1, "n_classes": 3,
-                                      "bias": True, "BN": True,
-                                      "packed": True})
-        with pytest.raises(ValueError, match="XLA conv path"):
+        config.update(spatial_shards=2, loss="cross_entropy",
+                      loss_settings={"weight_type": "Uniform"})
+        with pytest.raises(ValueError, match="dice criterion"):
             SegmentationExperiment(config).train()
 
     def test_reg_experiment_spatial_shards(self, tmp_path):

@@ -395,6 +395,22 @@ class TestOverflowGuard:
         assert exp.reg_model.use_pallas_warp is False
         assert np.isfinite(exp.reg_best_score)
 
+    def test_escalation_past_packed_bound_switches_to_xla(self, tmp_path):
+        """Escalating past MAX_PACKED_DISP must convert to the XLA-warp
+        switch: the Pallas kernels' 5-bit packed offset lists cannot
+        express wider bounds (pallas/warp.py::_pack_list n <= 31 — the
+        r04 escalation chip run crashed exactly there at max_disp=16)."""
+        cfg = self._config(tmp_path, mode="escalate")
+        cfg["max_disp"] = 8
+        cfg["reg_model_settings"]["max_disp"] = 8
+        cfg["overflow_guard"].update(limit=32)
+        exp = DeepAtlasExperiment(cfg)
+        exp.train()
+        # first escalation asks for 16 > MAX_PACKED_DISP=10 -> xla switch
+        assert exp.config["use_pallas_warp"] is False
+        assert exp.reg_model.use_pallas_warp is False
+        assert np.isfinite(exp.reg_best_score)
+
 
 def test_joint_reg_skips_frozen_seg_when_fully_labeled(rng):
     """The reg phase's frozen-seg-net label substitution is guarded by a

@@ -116,6 +116,9 @@ def run_jax(images, labels, val_images, val_labels, perms, n_class: int,
         init_vars = UNetLight(in_channel=1, n_classes=n_class, bias=True,
                               BN=True).init(jax.random.PRNGKey(230),
                                             imgs[:1], train=False)
+    # keep on HOST: the donating train step deletes the state's device
+    # buffers, and init_vars is reused by the packed run + the torch twin
+    init_vars = jax.device_get(init_vars)
     if packed:
         from deepatlas_tpu.models.packed import transfer_unet_params
         model_vars = transfer_unet_params(init_vars, model)
