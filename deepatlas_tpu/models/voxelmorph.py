@@ -95,7 +95,7 @@ class VoxelMorphCVPR2018(nn.Module):
             from ..pallas import pallas_grid_sample
             warped_source = pallas_grid_sample(
                 source.astype(jnp.float32), deform_field,
-                max_disp=self.max_disp,
+                max_disp=self.max_disp, ct_sparse=False,  # image ct: dense
                 require_kernel=self.require_kernel)
         else:
             warped_source = grid_sample(source, deform_field,

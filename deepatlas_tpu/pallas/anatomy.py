@@ -306,7 +306,8 @@ def _splat_ones3d(grid, dhw, tz, r, interpret):
     gz, gy, gx = _vox_coords(grid, d, h, w)
     return pallas_splat(jnp.ones((1, d, h, w), jnp.float32), gz, gy, gx,
                         d=d, h=h, w=w, tz=max(tz // 2, 1), r=r,
-                        interpret=interpret)[0]
+                        ct_sparse=False,  # constant ct: the mass skip
+                        interpret=interpret)[0]  # never fires
 
 
 def _splat_ones3d_fwd(grid, dhw, tz, r, interpret):

@@ -99,7 +99,7 @@ def _plane_meta(gz, gy, gx, *, d: int, h: int, w: int, r: int):
 def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, pres_ref, meta_ref,
                   smeta_ref, jdx_ref, dvol_ref,
                   gz_s, gy_s, gx_s, ct_s, rtent_s, sem, *, d, h, w, wp, tz,
-                  r):
+                  r, ct_sparse):
     # when the lane padding is at least the displacement bound, x-shifted
     # contributions whose target falls outside [0, w) land in (and wrap
     # into) the pad columns, which the caller slices away — the per-(dy,dx)
@@ -136,11 +136,12 @@ def _splat_kernel(gz_ref, gy_ref, gx_ref, ct_ref, pres_ref, meta_ref,
     def _work():
         _splat_work(gz_s, gy_s, gx_s, ct_s, rtent_s, meta_ref, smeta_ref,
                     jdx_ref, dvol_ref, d=d, h=h, w=w, wp=wp, tz=tz, r=r,
-                    t0=t0, o0=o0)
+                    t0=t0, o0=o0, ct_sparse=ct_sparse)
 
 
 def _splat_work(gz_s, gy_s, gx_s, ct_s, rtent_s, meta_ref, smeta_ref,
-                jdx_ref, dvol_ref, *, d, h, w, wp, tz, r, t0, o0):
+                jdx_ref, dvol_ref, *, d, h, w, wp, tz, r, t0, o0,
+                ct_sparse):
     x_pad_lands = (wp - w) >= (r + 1)
     s_out = tz + 2 * (r + 1)
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (h, wp), 0)
@@ -170,65 +171,116 @@ def _splat_work(gz_s, gy_s, gx_s, ct_s, rtent_s, meta_ref, smeta_ref,
             txk = gx_s[k] - cols2.astype(jnp.float32)
             ndy = meta_ref[q, 0]
             ndx = meta_ref[q, 1]
+            nb = 2 * r + 3
 
-            # hoist the per-dx work that is invariant across dy: the
-            # x-tent, its -dx lane roll, and the target-column validity
-            # mask, staged once per receiver plane k into rtent_s (rolls
-            # commute with elementwise products, so roll(fy*tent, -dx) =
-            # roll(fy, -dx) * rtent[dx]) — the (dy, dx) inner loop becomes
-            # roll + multiply-add
-            def fill_dx(j, _):
-                dx = _ldecode(meta_ref, q, 2 + _DW, j) - (r + 1)
-                t = _tent(txk + dx.astype(jnp.float32))
-                g = pltpu.roll(t, jnp.mod(-dx, wp), 1)
-                if not x_pad_lands:
-                    # lane j of the rolled plane reads receiver column
-                    # j + dx — mask those outside [0, w)
-                    cols_sh = cols2 + dx
-                    x_ok = (cols_sh >= 0) & (cols_sh <= w - 1)
-                    g = jnp.where(x_ok, g, 0.0)
-                rtent_s[dx + r + 1] = g
-                return 0
+            def finish_dy(acc, acc_x, dy):
+                # one row roll per dy (the row shift commutes with the
+                # lane work — saves dx_range-1 rolls per dy)
+                g2 = pltpu.roll(acc_x, jnp.mod(-dy, h), 0)
+                rows_sh = rows2 + dy
+                y_ok = (rows_sh >= 0) & (rows_sh <= h - 1)
+                return acc + jnp.where(y_ok, g2, 0.0)
 
-            jax.lax.fori_loop(0, ndx, fill_dx, 0)
-
-            def dy_body(j, acc):
-                dy = _ldecode(meta_ref, q, 2, j) - (r + 1)
-                fy = f0 * _tent(tyk + dy.astype(jnp.float32))
-                # the dx loop iterates the per-(q, dy) JOINT list
-                # (_plane_meta jdx): in the saturated regime the marginal
-                # list is full but each dy-band's dx support stays thin
-                dyi = dy + (r + 1)
-                ndx_j = jdx_ref[q, dyi * _JW]
-
-                def dy_work(acc):
-                    # accumulate the x-offsets unshifted in y, then one row
-                    # roll per dy (the row shift commutes with the lane
-                    # work — saves dx_range-1 rolls per dy)
-                    def dx_body(j2, acc_x):
-                        dx = (jax.lax.shift_right_logical(
-                            jdx_ref[q, dyi * _JW + 1 + j2 // 6],
-                            5 * (j2 % 6)) & 31) - (r + 1)
-                        g = pltpu.roll(fy, jnp.mod(-dx, wp), 1)
-                        return acc_x + g * rtent_s[dx + r + 1]
-
-                    acc_x = jax.lax.fori_loop(
-                        0, ndx_j, dx_body, jnp.zeros((h, wp), jnp.float32))
-                    g2 = pltpu.roll(acc_x, jnp.mod(-dy, h), 0)
-                    rows_sh = rows2 + dy
-                    y_ok = (rows_sh >= 0) & (rows_sh <= h - 1)
-                    return acc + jnp.where(y_ok, g2, 0.0)
-
+            def gated(fy, dy_work, acc):
                 # ct-aware joint mass check: the packed lists are MARGINAL
                 # (z x y product overshoots), and for one-hot cotangents
                 # the joint mass with ct is far sparser still — one
-                # reduction here skips ndx rolls+madds.  With list-tight
-                # loop bounds the cond count is small (unlike the earlier
-                # per-bit conds at full ranges, which regressed saturated)
+                # reduction here skips the dx sweep.  For DENSE/constant
+                # cotangents (soft-path probs, splat(ones)) the check
+                # never fires and its full-plane reduction is pure per-dy
+                # overhead — the caller disables it with ct_sparse=False.
+                if not ct_sparse:
+                    return dy_work(acc)
                 return jax.lax.cond(jnp.max(jnp.abs(fy)) > 0.0, dy_work,
                                     lambda a: a, acc)
 
-            return jax.lax.fori_loop(0, ndy, dy_body, acc)
+            def list_branch(acc):
+                # hoist the per-dx work that is invariant across dy: the
+                # x-tent, its -dx lane roll, and the target-column validity
+                # mask, staged once per receiver plane k into rtent_s (rolls
+                # commute with elementwise products, so roll(fy*tent, -dx) =
+                # roll(fy, -dx) * rtent[dx]) — the (dy, dx) inner loop
+                # becomes roll + multiply-add
+                def fill_dx(j, _):
+                    dx = _ldecode(meta_ref, q, 2 + _DW, j) - (r + 1)
+                    t = _tent(txk + dx.astype(jnp.float32))
+                    g = pltpu.roll(t, jnp.mod(-dx, wp), 1)
+                    if not x_pad_lands:
+                        # lane j of the rolled plane reads receiver column
+                        # j + dx — mask those outside [0, w)
+                        cols_sh = cols2 + dx
+                        x_ok = (cols_sh >= 0) & (cols_sh <= w - 1)
+                        g = jnp.where(x_ok, g, 0.0)
+                    rtent_s[dx + r + 1] = g
+                    return 0
+
+                jax.lax.fori_loop(0, ndx, fill_dx, 0)
+
+                def dy_body(j, acc):
+                    dy = _ldecode(meta_ref, q, 2, j) - (r + 1)
+                    fy = f0 * _tent(tyk + dy.astype(jnp.float32))
+                    # the dx loop iterates the per-(q, dy) JOINT list
+                    # (_plane_meta jdx): the marginal list may overshoot
+                    # a given dy-band's thin dx support
+                    dyi = dy + (r + 1)
+                    ndx_j = jdx_ref[q, dyi * _JW]
+
+                    def dy_work(acc):
+                        def dx_body(j2, acc_x):
+                            dx = (jax.lax.shift_right_logical(
+                                jdx_ref[q, dyi * _JW + 1 + j2 // 6],
+                                5 * (j2 % 6)) & 31) - (r + 1)
+                            g = pltpu.roll(fy, jnp.mod(-dx, wp), 1)
+                            return acc_x + g * rtent_s[dx + r + 1]
+
+                        acc_x = jax.lax.fori_loop(
+                            0, ndx_j, dx_body,
+                            jnp.zeros((h, wp), jnp.float32))
+                        return finish_dy(acc, acc_x, dy)
+
+                    return gated(fy, dy_work, acc)
+
+                return jax.lax.fori_loop(0, ndy, dy_body, acc)
+
+            def full_branch(acc):
+                # static-sweep fast path for near-full dx lists: the
+                # saturated regime's clamp-transition band sweeps the
+                # whole dx range (CENSUS_r04: joint ~ marginal ~ full
+                # there), so the dynamic-offset machinery buys nothing
+                # while its per-trip dynamic lane rotates + dynamic
+                # scratch reads dominate the cost.  Here every shift and
+                # scratch index is a compile-time constant and the dx
+                # sweep advances by incremental roll-by-1 (rolls compose:
+                # roll(fy, -(dx+1)) = roll(roll(fy, -dx), -1)).
+                for dxi in range(nb):
+                    dxc = dxi - (r + 1)
+                    t = _tent(txk + float(dxc))
+                    g = pltpu.roll(t, (-dxc) % wp, 1)
+                    if not x_pad_lands:
+                        x_ok = (cols2 + dxc >= 0) & (cols2 + dxc <= w - 1)
+                        g = jnp.where(x_ok, g, 0.0)
+                    rtent_s[dxi] = g
+
+                def dy_body(j, acc):
+                    dy = _ldecode(meta_ref, q, 2, j) - (r + 1)
+                    fy = f0 * _tent(tyk + dy.astype(jnp.float32))
+
+                    def dy_work(acc):
+                        g = pltpu.roll(fy, (r + 1) % wp, 1)
+                        acc_x = g * rtent_s[0]
+                        for dxi in range(1, nb):
+                            g = pltpu.roll(g, wp - 1, 1)
+                            acc_x = acc_x + g * rtent_s[dxi]
+                        return finish_dy(acc, acc_x, dy)
+
+                    return gated(fy, dy_work, acc)
+
+                return jax.lax.fori_loop(0, ndy, dy_body, acc)
+
+            # branch on the marginal dx-list length: a static full sweep
+            # costs nb cheap trips, the list path ndx_j expensive ones
+            return jax.lax.cond(3 * ndx >= 2 * nb, full_branch,
+                                list_branch, acc)
 
         acc = jax.lax.fori_loop(0, nq, k_body,
                                 jnp.zeros((h, wp), jnp.float32))
@@ -236,12 +288,18 @@ def _splat_work(gz_s, gy_s, gx_s, ct_s, rtent_s, meta_ref, smeta_ref,
 
 
 def pallas_splat(ct: jnp.ndarray, gz, gy, gx, *, d: int, h: int, w: int,
-                 tz: int = 4, r: int = 8,
+                 tz: int = 4, r: int = 8, ct_sparse: bool = True,
                  interpret: bool = False) -> jnp.ndarray:
     """ct (C, D, H, W) cotangents + voxel coords (D, H, W) -> dvol (C,D,H,W).
 
     The adjoint of _fwd_single for displacements bounded by ``r`` voxels
     (all axes — x included, unlike the forward, whose x-gather is exact).
+
+    ``ct_sparse=False`` drops the per-dy cotangent-mass skip (a full-plane
+    reduction + cond per trip) — pass it when ``ct`` is dense or constant
+    (soft-path probability cotangents, splat(ones)), keep the default for
+    one-hot/blocky cotangents (the f-hard adjoint splat).  Results are
+    identical either way.
     """
     from .warp import MAX_PACKED_DISP
     if r > MAX_PACKED_DISP:
@@ -265,7 +323,7 @@ def pallas_splat(ct: jnp.ndarray, gz, gy, gx, *, d: int, h: int, w: int,
     from .warp import _channel_presence
 
     kern = functools.partial(_splat_kernel, d=d, h=hb, w=w, wp=wp, tz=tz,
-                             r=r)
+                             r=r, ct_sparse=ct_sparse)
     pres = _channel_presence(ct, tz, r, n_tiles, d)
     meta, smeta, jdx = _plane_meta(gz, gy, gx, d=d, h=h, w=w, r=r)
     out = pl.pallas_call(

@@ -625,21 +625,21 @@ def _bwd_grid_single(vol, gz, gy, gx, ct, *, tz: int, r: int,
     return (dgz[:d, :h, :w], dgy[:d, :h, :w], dgx[:d, :h, :w])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _warp3d(vol: jnp.ndarray, grid: jnp.ndarray, tz: int, r: int,
-            interpret: bool) -> jnp.ndarray:
+            interpret: bool, ct_sparse: bool = True) -> jnp.ndarray:
     """(C,D,H,W) x (D,H,W,3 normalized xyz) -> (C,D,H,W), zero padding."""
     _, d, h, w = vol.shape
     gz, gy, gx = _vox_coords(grid, d, h, w)
     return _fwd_single(vol, gz, gy, gx, tz=tz, r=r, interpret=interpret)
 
 
-def _warp3d_fwd(vol, grid, tz, r, interpret):
-    out = _warp3d(vol, grid, tz, r, interpret)
+def _warp3d_fwd(vol, grid, tz, r, interpret, ct_sparse):
+    out = _warp3d(vol, grid, tz, r, interpret, ct_sparse)
     return out, (vol, grid)
 
 
-def _warp3d_bwd(tz, r, interpret, res, ct):
+def _warp3d_bwd(tz, r, interpret, ct_sparse, res, ct):
     vol, grid = res
     _, d, h, w = vol.shape
     gz, gy, gx = _vox_coords(grid, d, h, w)
@@ -657,6 +657,7 @@ def _warp3d_bwd(tz, r, interpret, res, ct):
     from .splat import pallas_splat
 
     dvol = pallas_splat(ct, gz, gy, gx, d=d, h=h, w=w, tz=tz, r=r,
+                        ct_sparse=ct_sparse,
                         interpret=interpret).astype(vol.dtype)
     return dvol, dgrid
 
@@ -664,9 +665,9 @@ def _warp3d_bwd(tz, r, interpret, res, ct):
 _warp3d.defvjp(_warp3d_fwd, _warp3d_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _warp3d_vals(vol: jnp.ndarray, grid: jnp.ndarray, tz: int, r: int,
-                 interpret: bool) -> jnp.ndarray:
+                 interpret: bool, ct_sparse: bool = True) -> jnp.ndarray:
     """Like ``_warp3d`` but with a values-only backward: the grid cotangent
     is returned as zeros WITHOUT running the (C x) grid-gradient and splat
     kernels for it.  Only valid when the caller stop-gradients the grid
@@ -676,17 +677,18 @@ def _warp3d_vals(vol: jnp.ndarray, grid: jnp.ndarray, tz: int, r: int,
     return _fwd_single(vol, gz, gy, gx, tz=tz, r=r, interpret=interpret)
 
 
-def _warp3d_vals_fwd(vol, grid, tz, r, interpret):
-    return _warp3d_vals(vol, grid, tz, r, interpret), (vol, grid)
+def _warp3d_vals_fwd(vol, grid, tz, r, interpret, ct_sparse):
+    return _warp3d_vals(vol, grid, tz, r, interpret, ct_sparse), (vol, grid)
 
 
-def _warp3d_vals_bwd(tz, r, interpret, res, ct):
+def _warp3d_vals_bwd(tz, r, interpret, ct_sparse, res, ct):
     vol, grid = res
     _, d, h, w = vol.shape
     gz, gy, gx = _vox_coords(grid, d, h, w)
     from .splat import pallas_splat
 
     dvol = pallas_splat(ct, gz, gy, gx, d=d, h=h, w=w, tz=tz, r=r,
+                        ct_sparse=ct_sparse,
                         interpret=interpret).astype(vol.dtype)
     return dvol, jnp.zeros_like(grid)
 
@@ -705,7 +707,7 @@ def _default_interpret() -> bool:
 def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
                        max_disp: int = 8, z_tile: int = 8,
                        bound_mode: str = "clamp", grad: str = "full",
-                       require_kernel: bool = False,
+                       require_kernel: bool = False, ct_sparse: bool = True,
                        interpret: bool | None = None) -> jnp.ndarray:
     """Pallas trilinear ``grid_sample`` for channel-last batches.
 
@@ -730,6 +732,11 @@ def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
       require_kernel: raise instead of silently taking the XLA fallback on
         volumes too shallow for the slab pipeline (multi-chip dryruns and
         tests use this to prove the kernel path is actually engaged).
+      ct_sparse: hint for the backward splat's per-trip cotangent-mass
+        skip — pass ``False`` when the value cotangents will be dense
+        (image warps, soft-path probability volumes) to drop the skip's
+        per-trip reduction overhead; keep ``True`` for one-hot/blocky
+        cotangents.  Values and gradients are identical either way.
       interpret: run in Pallas interpreter mode (CPU testing).
 
     Returns:
@@ -772,7 +779,8 @@ def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
     outs = []
     for bi in range(b):
         vol_cf = jnp.moveaxis(vol[bi], -1, 0)          # (C, D, H, W)
-        outs.append(op(vol_cf, grid[bi], z_tile, max_disp, interpret))
+        outs.append(op(vol_cf, grid[bi], z_tile, max_disp, interpret,
+                       ct_sparse))
     out = jnp.stack(outs, axis=0)                       # (B, C, D, H, W)
     return jnp.moveaxis(out, 1, -1).astype(vol.dtype)
 

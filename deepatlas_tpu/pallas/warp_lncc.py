@@ -43,6 +43,7 @@ def warp_lncc_loss(moving: jnp.ndarray, fixed: jnp.ndarray,
     """
     warped = pallas_grid_sample(moving.astype(jnp.float32), grid,
                                 max_disp=max_disp, z_tile=z_tile,
+                                ct_sparse=False,  # image ct: dense
                                 interpret=interpret)
     return lncc_loss(warped, fixed.astype(jnp.float32),
                      filter_size=filter_size, eps=eps)

@@ -141,7 +141,8 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
                         anatomy_dtype=None, max_disp: int | None = None,
                         fused_anatomy: bool = False, two_pass: bool = True,
                         hard_fused: bool = False,
-                        anatomy_kwargs: dict | None = None):
+                        anatomy_kwargs: dict | None = None,
+                        adjoint_warp_fn: Callable | None = None):
     """Data-parallel flavors of the joint DeepAtlas phase steps.
 
     Same semantics as train/reg_steps.py's ``make_joint_reg_step`` /
@@ -176,6 +177,8 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
 
     warp_fn = warp_fn or _p(_gs, mode="trilinear")
     seg_warp_fn = seg_warp_fn or warp_fn
+    # one-hot cotangent variant for the f-hard adjoint splat (reg_steps.py)
+    adjoint_warp_fn = adjoint_warp_fn or seg_warp_fn
     adt = anatomy_dtype or jnp.float32
     if hard_fused and max_disp is None:
         raise ValueError("hard_fused requires max_disp")
@@ -389,7 +392,7 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
                 # collectives.
                 from ..ops.warp import warp_values_adjoint
                 S = jax.lax.stop_gradient(warp_values_adjoint(
-                    seg_warp_fn, onehot_f.astype(jnp.float32), deform))
+                    adjoint_warp_fn, onehot_f.astype(jnp.float32), deform))
                 w_all = jnp.sum(S, axis=-1)
                 den_f = jnp.sum(onehot_f[..., 1:], axis=(1, 2, 3),
                                 dtype=jnp.float32)

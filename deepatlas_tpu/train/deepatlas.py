@@ -179,16 +179,24 @@ class DeepAtlasExperiment(BaseExperiment):
             # the one-hot values ride bf16 (coords stay f32; dice sums f32)
             from functools import partial
             from ..pallas import pallas_grid_sample
+            # dense cotangents everywhere except the f-hard adjoint splat:
+            # ct_sparse=False drops the splat's per-trip mass-skip overhead
+            # (pallas/splat.py); the adjoint variant keeps it for one-hots
             warp_fn = partial(pallas_grid_sample,
-                              max_disp=self.config.get("max_disp", 8))
+                              max_disp=self.config.get("max_disp", 8),
+                              ct_sparse=False)
             # seg phase: frozen reg field -> values-only warp VJP
             seg_warp_fn = partial(pallas_grid_sample,
                                   max_disp=self.config.get("max_disp", 8),
-                                  grad="values")
+                                  grad="values", ct_sparse=False)
+            adjoint_warp_fn = partial(pallas_grid_sample,
+                                      max_disp=self.config.get("max_disp", 8),
+                                      grad="values", ct_sparse=True)
             anatomy_dtype = jnp.bfloat16
         else:
             from ..train.reg_steps import grid_sample as warp_fn
             seg_warp_fn = warp_fn
+            adjoint_warp_fn = None
             anatomy_dtype = None
         use_pallas = self.config.get("use_pallas_warp", True)
         max_disp = self.config.get("max_disp", 8) if use_pallas else None
@@ -262,6 +270,7 @@ class DeepAtlasExperiment(BaseExperiment):
                 self.config.get("anatomy_weight", 1.0),
                 self.config.get("supervised_weight", 1.0), n_class,
                 mesh=self.mesh, warp_fn=warp_fn, seg_warp_fn=seg_warp_fn,
+                adjoint_warp_fn=adjoint_warp_fn,
                 anatomy_dtype=anatomy_dtype, max_disp=max_disp,
                 fused_anatomy=self.config.get("fused_anatomy", use_pallas),
                 two_pass=True,
@@ -283,7 +292,7 @@ class DeepAtlasExperiment(BaseExperiment):
                 checkpoint_apply=self.config.get("checkpoint_seg_apply",
                                                  not packed_seg),
                 hard_fused=self.config.get("hard_fused", use_pallas),
-                max_disp=max_disp)
+                max_disp=max_disp, adjoint_warp_fn=adjoint_warp_fn)
         self.seg_eval_step = make_seg_eval_step(n_class)
         self.reg_eval_step = make_reg_eval_step(n_class)
 

@@ -177,7 +177,8 @@ def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
                         two_pass: bool = True,
                         hard_fused: bool = False,
                         max_disp: int | None = None,
-                        anatomy_kwargs: dict | None = None):
+                        anatomy_kwargs: dict | None = None,
+                        adjoint_warp_fn: Callable | None = None):
     """Seg-phase step of joint training: updates the seg net against the
     supervised loss (where labels exist) + anatomy consistency through the
     (frozen) reg net's warp.
@@ -227,6 +228,11 @@ def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
         raise ValueError("hard_fused requires max_disp (the fused anatomy "
                          "value runs on the displacement-bounded Pallas "
                          "kernels)")
+    # one-hot cotangents (the f-hard adjoint splat) want the splat's
+    # per-trip mass skip that dense soft-path cotangents should not pay
+    # for — callers pass a ct_sparse=True variant here when warp_fn
+    # carries ct_sparse=False (pallas/splat.py)
+    adjoint_warp_fn = adjoint_warp_fn or warp_fn
     if checkpoint_apply:
         def apply_model(state, params, images, train):
             f = jax.checkpoint(
@@ -416,7 +422,7 @@ def make_joint_seg_step(supervised_loss: Callable, anatomy_weight: float,
             # one-hot splat.
             from ..ops.warp import warp_values_adjoint
             S = jax.lax.stop_gradient(warp_values_adjoint(
-                warp_fn, onehot_f.astype(jnp.float32), deform))
+                adjoint_warp_fn, onehot_f.astype(jnp.float32), deform))
             w_all = jnp.sum(S, axis=-1)            # splat(ones), (B,D,H,W)
             den_f = jnp.sum(onehot_f[..., 1:], axis=(1, 2, 3),
                             dtype=jnp.float32)

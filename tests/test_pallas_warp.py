@@ -310,6 +310,29 @@ class TestValuesAdjoint:
         np.testing.assert_allclose(np.asarray(jnp.sum(s, axis=-1)),
                                    np.asarray(ones[..., 0]), atol=1e-4)
 
+    @pytest.mark.parametrize("amp_factor", [0.5, 4.0])
+    def test_ct_sparse_flag_is_bit_identical(self, rng, amp_factor):
+        """ct_sparse=False (drop the per-dy cotangent-mass skip) is a pure
+        scheduling hint: the splat results are BIT-identical for smooth
+        (list-branch) and clamp-saturated (static full-sweep branch)
+        fields alike (pallas/splat.py)."""
+        from functools import partial
+
+        from deepatlas_tpu.ops import clamp_displacement
+        from deepatlas_tpu.ops.warp import warp_values_adjoint
+
+        ct = jnp.asarray(rng.rand(1, D, H, W, 2).astype(np.float32))
+        disp = jnp.asarray(make_field(rng, amplitude_vox=amp_factor * R))
+        grid = clamp_displacement(
+            disp + identity_grid_batch((1, D, H, W, 3)), R)
+        outs = []
+        for sparse in (True, False):
+            warp_fn = partial(pallas_grid_sample, max_disp=R, z_tile=TZ,
+                              grad="values", ct_sparse=sparse,
+                              interpret=True)
+            outs.append(np.asarray(warp_values_adjoint(warp_fn, ct, grid)))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
 
 class TestPresenceSkip:
     """The empty-slab skip guard (warp `_channel_presence` + SMEM table) is
