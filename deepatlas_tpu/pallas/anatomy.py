@@ -113,6 +113,93 @@ def _matched_fwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, meta_ref,
     out_ref[...] = acc
 
 
+def _matched_fused_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, meta_ref,
+                          jmeta_ref, out_ref, dgz_ref, dgy_ref, dgx_ref,
+                          slab, sem, *, d, h, w, wp, tz, r):
+    """Value AND unscaled grid-gradient planes in ONE (s, dy)-loop pass.
+
+    The anatomy loss's cotangent w.r.t. m is per-OUTPUT-voxel (a LUT of
+    ``lab_f``: d loss/d m(v) = g[lab_f(v)] after the binned-sum reductions),
+    so it multiplies every (s, dy) contribution of ``_matched_bwd_kernel``
+    elementwise and factors out of the loops entirely.  Accumulating the
+    three derivative sums WITHOUT ct alongside the value makes the whole
+    backward an elementwise ``ct * plane`` product — the joint loops run
+    once instead of twice (round-4 reg-phase breakdown: the recomputing
+    value+grad pair was 55% of the reg phase)."""
+    s_planes = tz + 2 * (r + 1)
+    yp = _ypad(r)
+    hp = h + 2 * yp
+    zi = pl.program_id(0)
+    z0 = zi * tz
+    s0 = jnp.clip(z0 - (r + 1), 0, jnp.maximum(d - s_planes, 0))
+    slab[...] = jnp.zeros_like(slab)
+    cp = pltpu.make_async_copy(
+        lab_ref.at[pl.ds(s0, s_planes), :, :],
+        slab.at[:, pl.ds(yp, h), :], sem)
+    cp.start()
+
+    gz = gz_ref[...] - s0.astype(jnp.float32)
+    gy = gy_ref[...]
+    gx = gx_ref[...]
+    lf = lf_ref[...]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, gz.shape, 1)
+    ty = gy - rows.astype(jnp.float32)
+    ns = meta_ref[zi, 0]
+
+    ix0 = jnp.floor(gx).astype(jnp.int32)
+    fx = gx - ix0.astype(jnp.float32)
+    x_ok0f = jnp.where((ix0 >= 0) & (ix0 <= w - 1), 1.0, 0.0)
+    x_ok1f = jnp.where((ix0 + 1 >= 0) & (ix0 + 1 <= w - 1), 1.0, 0.0)
+    ix1c = jnp.clip(ix0 + 1, 0, wp - 1)
+    prep = _prep_gather(ix1c, wp)
+    fx0 = 1.0 - fx
+
+    cp.wait()
+
+    def z_body(j1, accs):
+        s = _ldecode(meta_ref, zi, 2, j1)
+        tz_f = gz - s.astype(jnp.float32)
+        wz = _tent(tz_f)
+        dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
+        ndy_s = jmeta_ref[zi, s * _JW]
+
+        def y_body(j2, accs):
+            dy = (jax.lax.shift_right_logical(
+                jmeta_ref[zi, s * _JW + 1 + j2 // 6],
+                5 * (j2 % 6)) & 31) - (r + 1)
+            am, az, ay, ax = accs
+            k = jnp.mod(hp - (yp + dy), hp)
+            rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
+            g1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape), prep)
+            g0 = _gather_pre(jnp.broadcast_to(
+                pltpu.roll(rolled, 1, 1), gz.shape), prep)
+            v0 = jnp.where(jnp.abs(g0 - lf) < 0.5, x_ok0f, 0.0)
+            v1 = jnp.where(jnp.abs(g1 - lf) < 0.5, x_ok1f, 0.0)
+            xv = fx0 * v0 + fx * v1
+            dxv = v1 - v0
+            ty_f = ty - dy.astype(jnp.float32)
+            y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
+            wy = jnp.where(y_in, _tent(ty_f), 0.0)
+            dwy = jnp.where(y_in & (jnp.abs(ty_f) < 1.0),
+                            -jnp.sign(ty_f), 0.0)
+            am = am + wz * wy * xv
+            az = az + dwz * wy * xv
+            ay = ay + wz * dwy * xv
+            ax = ax + wz * wy * dxv
+            return am, az, ay, ax
+
+        return jax.lax.fori_loop(0, ndy_s, y_body, accs)
+
+    zero = jnp.zeros(gz.shape, jnp.float32)
+    am, az, ay, ax = jax.lax.fori_loop(0, ns, z_body,
+                                       (zero, zero, zero, zero))
+    out_ref[...] = am
+    dgz_ref[...] = az
+    dgy_ref[...] = ay
+    dgx_ref[...] = ax
+
+
 def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
                         meta_ref, jmeta_ref, dgz_ref, dgy_ref, dgx_ref,
                         slab, sem, *, d, h, w, wp, tz, r):
@@ -267,6 +354,44 @@ def _matched_bwd_call(lab_m, lab_f, gz, gy, gx, ct, *, tz, r, interpret):
     return (dgz[:d, :h, :w], dgy[:d, :h, :w], dgx[:d, :h, :w])
 
 
+def _matched_fused_call(lab_m, lab_f, gz, gy, gx, *, tz, r, interpret):
+    d, h, w = lab_m.shape
+    wp = _wp_for(w, r)
+    hb = _ceil_to(h, 8)
+    n_tiles = -(-d // tz)
+    dp = n_tiles * tz
+    s_planes = tz + 2 * (r + 1)
+    hp_slab = hb + 2 * _ypad(r)
+    labp = _pad_last(jnp.pad(lab_m, [(0, 0), (0, hb - h), (0, 0)]), wp)
+    coords = [_pad_last(jnp.pad(c, [(0, dp - d), (0, hb - h), (0, 0)],
+                                mode="edge"), wp) for c in (gz, gy, gx)]
+    lfp = _pad_last(jnp.pad(lab_f, [(0, dp - d), (0, hb - h), (0, 0)],
+                            constant_values=-1.0), wp)
+    kern = functools.partial(_matched_fused_kernel, d=d, h=hb, w=w, wp=wp,
+                             tz=tz, r=r)
+    meta = _tile_meta(gz, gy, tz=tz, r=r, n_tiles=n_tiles, d=d)
+    jmeta = _joint_sdy_meta(gz, gy, tz=tz, r=r, n_tiles=n_tiles, d=d)
+    cspec = pl.BlockSpec((tz, hb, wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    m, dgz, dgy, dgx = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[cspec, cspec, cspec, cspec,
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(cspec, cspec, cspec, cspec),
+        out_shape=tuple(jax.ShapeDtypeStruct((dp, hb, wp), jnp.float32)
+                        for _ in range(4)),
+        scratch_shapes=[pltpu.VMEM((s_planes, hp_slab, wp), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=_VMEM,
+        interpret=interpret,
+    )(*coords, lfp, labp, meta, jmeta)
+    return (m[:d, :h, :w], dgz[:d, :h, :w], dgy[:d, :h, :w],
+            dgx[:d, :h, :w])
+
+
 # --------------------------------------------------- differentiable ops
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -297,6 +422,44 @@ def _matched3d_bwd(tz, r, interpret, res, ct):
 
 
 _matched3d.defvjp(_matched3d_fwd, _matched3d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _matched3d_fused(lab_m, lab_f, grid, tz, r, interpret):
+    """``_matched3d`` with a fused value+gradient forward: the joint
+    (s, dy) loops run ONCE, emitting the value plane and the three
+    UNSCALED derivative planes; the backward is elementwise (the anatomy
+    cotangent is a per-output-voxel LUT of ``lab_f`` and factors out of
+    the loops — see ``_matched_fused_kernel``).  Use on paths that WILL be
+    differentiated (the joint reg step); the primal-only ``_matched3d``
+    stays cheaper for value-only paths (the hard seg branch)."""
+    d, h, w = lab_m.shape
+    gz, gy, gx = _vox_coords(grid, d, h, w)
+    m, _, _, _ = _matched_fused_call(lab_m, lab_f, gz, gy, gx, tz=tz, r=r,
+                                     interpret=interpret)
+    return m
+
+
+def _matched3d_fused_fwd(lab_m, lab_f, grid, tz, r, interpret):
+    d, h, w = lab_m.shape
+    gz, gy, gx = _vox_coords(grid, d, h, w)
+    m, dgz, dgy, dgx = _matched_fused_call(lab_m, lab_f, gz, gy, gx, tz=tz,
+                                           r=r, interpret=interpret)
+    return m, (lab_m, lab_f, grid, dgz, dgy, dgx)
+
+
+def _matched3d_fused_bwd(tz, r, interpret, res, ct):
+    lab_m, lab_f, grid, dgz, dgy, dgx = res
+    d, h, w = lab_m.shape
+    ct = ct.astype(jnp.float32)
+    dgrid = jnp.stack([ct * dgx * ((w - 1) / 2.0),
+                       ct * dgy * ((h - 1) / 2.0),
+                       ct * dgz * ((d - 1) / 2.0)],
+                      axis=-1).astype(grid.dtype)
+    return jnp.zeros_like(lab_m), jnp.zeros_like(lab_f), dgrid
+
+
+_matched3d_fused.defvjp(_matched3d_fused_fwd, _matched3d_fused_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
@@ -362,6 +525,7 @@ def hard_anatomy_dice(lab_m: jnp.ndarray, lab_f: jnp.ndarray,
                       deform: jnp.ndarray, n_class: int, *,
                       max_disp: int = 8, z_tile: int = 8, eps: float = 1e-5,
                       require_kernel: bool = False,
+                      fused_grad: bool = False,
                       interpret: bool | None = None) -> jnp.ndarray:
     """Exactly ``soft_dice_on_probs(grid_sample(one_hot(lab_m), deform),
     lab_f, n_class)`` for HARD moving labels, at C=1 kernel cost.
@@ -370,6 +534,10 @@ def hard_anatomy_dice(lab_m: jnp.ndarray, lab_f: jnp.ndarray,
       lab_m, lab_f: ``(B, D, H, W)`` integer masks.
       deform: ``(B, D, H, W, 3)`` normalized (x, y, z) deformation; clamped
         to ±``max_disp`` voxels (the Pallas warp guard).
+      fused_grad: compute the matched-warp's grid-gradient planes IN the
+        forward pass (one joint-loop sweep instead of two; the backward
+        becomes elementwise).  Set True on paths that take grad(deform) —
+        the joint reg step; leave False for value-only uses.
 
     Differentiable w.r.t. ``deform`` only (labels are hard).
     """
@@ -402,11 +570,12 @@ def hard_anatomy_dice(lab_m: jnp.ndarray, lab_f: jnp.ndarray,
             return soft_dice_on_probs(warped, lab_f.astype(jnp.int32),
                                       n_class)
     deform = clamp_displacement(deform, max_disp)
+    matched = _matched3d_fused if fused_grad else _matched3d
     inters, denms, denfs = [], [], []
     for bi in range(b):
         lm = lab_m[bi].astype(jnp.float32)
         lf = lab_f[bi].astype(jnp.float32)
-        m = _matched3d(lm, lf, deform[bi], z_tile, max_disp, interpret)
+        m = matched(lm, lf, deform[bi], z_tile, max_disp, interpret)
         u = _splat_ones3d(deform[bi], (d, h, w), z_tile, max_disp, interpret)
         inters.append(binned_sum(m, lab_f[bi].astype(jnp.int32), n_class))
         denms.append(binned_sum(u, lab_m[bi].astype(jnp.int32), n_class))

@@ -214,8 +214,9 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
             reg = reg_loss(disp.astype(jnp.float32))
             if fused_anatomy:
                 from ..pallas.anatomy import hard_anatomy_dice
+                # fused_grad: differentiated w.r.t. deform (reg_steps.py)
                 anat = hard_anatomy_dice(lab_m, lab_f, deform, n_class,
-                                         max_disp=max_disp,
+                                         max_disp=max_disp, fused_grad=True,
                                          **(anatomy_kwargs or {}))
             else:
                 warped_onehot = warp_fn(onehot_m, deform)

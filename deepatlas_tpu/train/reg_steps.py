@@ -148,8 +148,10 @@ def make_joint_reg_step(sim_loss: Callable, reg_loss: Callable,
             # of precision; only the warped *values* may be low-precision
             if fused_anatomy:
                 from ..pallas.anatomy import hard_anatomy_dice
+                # fused_grad: this loss IS differentiated w.r.t. deform —
+                # one joint-loop sweep emits value + gradient planes
                 anat = hard_anatomy_dice(lab_m, lab_f, deform, n_class,
-                                         max_disp=max_disp,
+                                         max_disp=max_disp, fused_grad=True,
                                          **(anatomy_kwargs or {}))
             else:
                 warped_onehot = warp_fn(onehot_m, deform)

@@ -64,6 +64,24 @@ def test_grad_matches_dense(data):
                                atol=2e-4, rtol=1e-3)
 
 
+def test_fused_grad_matches_dense(data):
+    # fused_grad=True computes the gradient planes IN the forward kernel
+    # (one joint-loop sweep; elementwise backward) — value and grad must
+    # be exactly the recomputing path's, i.e. the dense composition's
+    lab_m, lab_f, grid = data
+
+    def loss(g):
+        return hard_anatomy_dice(lab_m, lab_f, g, NC, max_disp=R,
+                                 z_tile=TZ, fused_grad=True, interpret=True)
+
+    val, g_fused = jax.value_and_grad(loss)(grid)
+    ref = dense_loss(lab_m, lab_f, grid)
+    g_ref = jax.grad(lambda g: dense_loss(lab_m, lab_f, g))(grid)
+    np.testing.assert_allclose(float(val), float(ref), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_identity_deform_is_plain_dice(data):
     lab_m, lab_f, _ = data
     grid = identity_grid_batch((1, D, H, W, 3))

@@ -121,6 +121,13 @@ def main():
         mseg, fseg, g, nc, max_disp=8)))
     t_an_g = timeit(anat_g, (deform,), iters, "hard_anatomy grad(field)")
 
+    # 5a. fused value+grad forward (grad planes accumulated in the same
+    # joint-loop sweep; elementwise backward) — what the reg step runs
+    anat_fg = jax.jit(jax.value_and_grad(lambda g: hard_anatomy_dice(
+        mseg, fseg, g, nc, max_disp=8, fused_grad=True)))
+    t_an_fg = timeit(anat_fg, (deform,), iters,
+                     "hard_anatomy value+grad FUSED")
+
     # 5b. frozen seg-net forward (the reg step runs TWO of these for the
     # label substitution, even when both sides carry ground truth)
     seg_fwd = jax.jit(lambda p, x: jnp.sum(

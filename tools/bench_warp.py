@@ -111,10 +111,13 @@ def main():
             partial(pallas_grid_sample, max_disp=args.max_disp,
                     grad="values"), v, g))
     else:
+        # dense cotangents: ct_sparse=False, matching the soft-path
+        # training steps (train/deepatlas.py warp_fn partials)
         def vjp_fn(v, g):
             out, pull = jax.vjp(
                 lambda vv: pallas_grid_sample(vv, g, max_disp=args.max_disp,
-                                              grad="values"), v)
+                                              grad="values",
+                                              ct_sparse=False), v)
             return pull(out)[0]
         vjp = jax.jit(vjp_fn)
     matched = jax.jit(lambda lm, lf, g: hard_anatomy_dice(
