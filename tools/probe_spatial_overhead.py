@@ -14,12 +14,18 @@ Run: python tools/probe_spatial_overhead.py
 """
 from __future__ import annotations
 
+import faulthandler
 import os
 import sys
 import time
 from functools import partial
 
 import numpy as np
+
+# the first two launch attempts blocked before the first jit returned
+# (3 s CPU in 12 min, futex wait) while one-off scripts ran fine —
+# dump all thread stacks every 3 min so a recurrence is diagnosable
+faulthandler.dump_traceback_later(180, repeat=True, file=sys.stderr)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
