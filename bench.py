@@ -13,14 +13,20 @@ matched-warp kernel.
 
 By default ALL FOUR label regimes are measured (both / moving / fixed /
 none — which sides of the pair carry ground-truth labels decides which
-branch of the seg phase's label-structure ``lax.switch`` runs), under both
-field regimes (worst-case saturating fields of an untrained net, and
-trained-magnitude "typical" fields), and the HEADLINE value is the
-recipe-weighted expectation over the semi-supervised MB101 21-labeled-of-65
-pair mix — the DeepAtlas paper's setting (ref README.md:15-19) — at
-worst-case fields.  Per-regime numbers ride the same JSON line under
-``"regimes"`` keyed ``<labels>|<field>``.  (Round-3 VERDICT: the headline
-must not quietly measure only the fully-labeled fast path.)
+branch of the seg phase's label-structure ``lax.switch`` runs) at
+WORST-CASE fields (saturating fields of an untrained net — the
+conservative regime), and the HEADLINE value is the recipe-weighted
+expectation over the semi-supervised MB101 21-labeled-of-65 pair mix —
+the DeepAtlas paper's setting (ref README.md:15-19).  Per-regime numbers
+ride the same JSON line under ``"regimes"`` keyed ``<labels>|<field>``.
+(Round-3 VERDICT: the headline must not quietly measure only the
+fully-labeled fast path.  Round-4 VERDICT next #2: the default must fit
+the driver window — all four label regimes share ONE compiled program
+(the label flags are runtime inputs to the seg phase's ``lax.switch``),
+so the default pays one compile; ``--full`` adds the trained-magnitude
+"typical" field regime, which re-jits, for the regime-complete table.
+A persistent compilation cache under /tmp/jaxcache makes repeat runs
+compile-free.)
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "volumes/sec/chip",
@@ -43,6 +49,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the joint-step programs take minutes to build
+# through the axon tunnel; cached, a repeat bench run starts measuring in
+# seconds (the driver runs `python bench.py` with no env setup)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 # the MB101 semi-supervised recipe's ordered-pair label mix: 21 labeled of
 # 65 volumes, N*(N-1) ordered pairs (ref lib/datasets.py:378-390)
 _N_LABELED, _N_TOTAL = 21, 65
@@ -63,16 +77,21 @@ def _pair_mix():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, nargs=3, default=[168, 200, 168])
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--n-classes", type=int, default=32)
     ap.add_argument("--regime", choices=["worst", "typical", "all"],
-                    default="all",
-                    help="'worst': untrained net, fields saturate the "
-                         "max_disp bound — the adaptive-range kernels' "
-                         "worst case.  'typical': the flow head is scaled "
-                         "so p99 |disp| ~ 2 voxels, the regime a trained "
-                         "VoxelMorph settles into (ref voxel_morph.py:88). "
-                         "'all' (default) measures both.")
+                    default="worst",
+                    help="'worst' (default): untrained net, fields saturate "
+                         "the max_disp bound — the adaptive-range kernels' "
+                         "worst case and the conservative headline.  "
+                         "'typical': the flow head is scaled so p99 |disp| "
+                         "~ 2 voxels, the regime a trained VoxelMorph "
+                         "settles into (ref voxel_morph.py:88).  'all' "
+                         "measures both (one extra jit program).")
+    ap.add_argument("--full", action="store_true",
+                    help="the regime-complete long form: --regime all "
+                         "--iters 3 (builder-side table runs; the default "
+                         "stays inside the driver window)")
     ap.add_argument("--labels", choices=["both", "moving", "fixed", "none",
                                          "all"],
                     default="all",
@@ -83,6 +102,9 @@ def main():
                          "(default) measures every regime and reports the "
                          "21-of-65 recipe-weighted headline.")
     args = ap.parse_args()
+    if args.full:
+        args.regime = "all"
+        args.iters = max(args.iters, 3)
 
     from functools import partial
 

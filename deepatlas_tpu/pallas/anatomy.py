@@ -432,12 +432,13 @@ def _matched3d_fused(lab_m, lab_f, grid, tz, r, interpret):
     cotangent is a per-output-voxel LUT of ``lab_f`` and factors out of
     the loops — see ``_matched_fused_kernel``).  Use on paths that WILL be
     differentiated (the joint reg step); the primal-only ``_matched3d``
-    stays cheaper for value-only paths (the hard seg branch)."""
-    d, h, w = lab_m.shape
-    gz, gy, gx = _vox_coords(grid, d, h, w)
-    m, _, _, _ = _matched_fused_call(lab_m, lab_f, gz, gy, gx, tz=tz, r=r,
-                                     interpret=interpret)
-    return m
+    stays cheaper for value-only paths (the hard seg branch).
+
+    The undifferentiated primal delegates to the value-only kernel — only
+    the VJP forward pays the 4-output bandwidth (ADVICE r4: metric/logging
+    evaluations of a fused_grad=True closure should not emit and discard
+    three gradient planes)."""
+    return _matched3d(lab_m, lab_f, grid, tz, r, interpret)
 
 
 def _matched3d_fused_fwd(lab_m, lab_f, grid, tz, r, interpret):
@@ -545,10 +546,22 @@ def hard_anatomy_dice(lab_m: jnp.ndarray, lab_f: jnp.ndarray,
         interpret = _default_interpret()
     from .warp import MAX_PACKED_DISP
     if max_disp > MAX_PACKED_DISP:
-        raise ValueError(
-            f"max_disp={max_disp} exceeds the packed offset-list bound "
-            f"(MAX_PACKED_DISP={MAX_PACKED_DISP}); use the dense XLA "
-            f"anatomy composition for wider displacement bounds")
+        # auto-route past the packed bound to the dense XLA composition
+        # (clamped at the requested wider bound — exact for |disp| within
+        # it); ADVICE r4: raising here broke shallow-volume configs that
+        # previously worked via the fallback
+        if require_kernel:
+            raise ValueError(
+                f"max_disp={max_disp} exceeds the packed offset-list bound "
+                f"(MAX_PACKED_DISP={MAX_PACKED_DISP}) and "
+                f"require_kernel=True forbids the fallback")
+        from ..losses import soft_dice_on_probs
+        from ..ops import grid_sample, one_hot
+        deform = clamp_displacement(deform, max_disp)
+        warped = grid_sample(one_hot(lab_m.astype(jnp.int32), n_class,
+                                     dtype=jnp.float32), deform,
+                             mode="trilinear")
+        return soft_dice_on_probs(warped, lab_f.astype(jnp.int32), n_class)
     b, d, h, w = lab_m.shape
     if d < z_tile + 2 * (max_disp + 1):
         # shrink the z-tile to fit shallow volumes (same as

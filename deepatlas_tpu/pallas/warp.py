@@ -750,16 +750,23 @@ def pallas_grid_sample(vol: jnp.ndarray, grid: jnp.ndarray, *,
                          f"{bound_mode!r}")
     if grad not in ("full", "values"):
         raise ValueError(f"grad must be 'full' or 'values', got {grad!r}")
-    if max_disp > MAX_PACKED_DISP:
-        raise ValueError(
-            f"max_disp={max_disp} exceeds the packed offset-list bound "
-            f"(MAX_PACKED_DISP={MAX_PACKED_DISP}); use the XLA warp "
-            f"(ops/warp.py grid_sample) for wider displacement bounds")
     if interpret is None:
         interpret = _default_interpret()
     b, d, h, w, c = vol.shape
     if bound_mode == "clamp":
         grid = clamp_displacement(grid, max_disp)
+    if max_disp > MAX_PACKED_DISP:
+        # past the packed offset-list bound the exact path is the XLA
+        # composition (the clamp above already applied the wider bound);
+        # only kernel-proving callers hard-fail (ADVICE r4: raising before
+        # the shallow-volume fallback broke configs that used to work)
+        if require_kernel:
+            raise ValueError(
+                f"max_disp={max_disp} exceeds the packed offset-list bound "
+                f"(MAX_PACKED_DISP={MAX_PACKED_DISP}) and "
+                f"require_kernel=True forbids the XLA fallback")
+        from ..ops.warp import grid_sample as xla_grid_sample
+        return xla_grid_sample(vol, grid, mode="trilinear")
     if d < z_tile + 2 * (max_disp + 1):
         # shrink the z-tile so the slab pipeline still fits shallow volumes
         # (more tiles, same math); only volumes with no room for even one

@@ -214,7 +214,11 @@ class RegistrationExperiment(BaseExperiment):
         print("Start Training:")
         for _ in range(self.current_epoch, self.config["n_epochs"] + 1):
             self.train_one_epoch()
-            is_best = self.validate()
+            if self.validate():
+                # pending-best survives to the next periodic save when the
+                # save/validation cadences are coprime (ADVICE r4; the
+                # reference nests saves inside validation, lib/tools.py:349)
+                self._pending_best = True
             # periodic save independent of the validation cadence (a run
             # that never validates must still leave a checkpoint)
             if self.current_epoch % self.config["save_ckpts_epoch_period"] \
@@ -224,7 +228,9 @@ class RegistrationExperiment(BaseExperiment):
                                  "opt_state": self.state.opt_state,
                                  "reg_best_score": self.best_score,
                                  "scheduler": self.scheduler.state_dict()},
-                                bool(is_best), self.ckpoint_dir)
+                                getattr(self, "_pending_best", False),
+                                self.ckpoint_dir)
+                self._pending_best = False
             self.current_epoch += 1
         self.close()
         print("Finished Training: {}".format(self.exp_name))

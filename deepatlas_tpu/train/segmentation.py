@@ -262,7 +262,14 @@ class SegmentationExperiment(BaseExperiment):
                     self.train_one_epoch()
             else:
                 self.train_one_epoch()
-            is_best = self.validate()
+            if self.validate():
+                # pending until persisted: the save cadence is decoupled
+                # from the validation cadence (unlike the reference, which
+                # nests the save inside the validation block,
+                # lib/tools.py:349), so a best found at a validation epoch
+                # must survive to the next periodic save even when the two
+                # periods are coprime (ADVICE r4)
+                self._pending_best = True
             # the periodic save is NOT gated on the validation cadence:
             # a run whose epochs never hit valid_epoch_period must still
             # leave a checkpoint for test()/resume
@@ -274,7 +281,9 @@ class SegmentationExperiment(BaseExperiment):
                                  "opt_state": self.state.opt_state,
                                  "best_score": self.best_score,
                                  "scheduler": self.scheduler.state_dict()},
-                                bool(is_best), self.ckpoint_dir)
+                                getattr(self, "_pending_best", False),
+                                self.ckpoint_dir)
+                self._pending_best = False
             self.current_epoch += 1
         self.close()
         print("Finished Training: {}".format(self.exp_name))

@@ -296,6 +296,81 @@ def test_joint_seg_hard_fused_matches_soft(rng):
                                        atol=1e-6, err_msg=tag)
 
 
+def test_joint_steps_xla_fallback_config(rng):
+    """Pin the guard's post-escalation fallback configuration (round-4
+    VERDICT next #1): unbounded XLA warp, fused_anatomy/hard_fused off,
+    bf16 anatomy tensors, full-recompute seg-apply remat.  The mitigated
+    steps must run and produce the same updated params as the unmitigated
+    f32 fallback within bf16 anatomy tolerance (remat changes scheduling,
+    never math; bf16 only touches the anatomy probability volumes — dice
+    sums still accumulate f32)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from deepatlas_tpu.losses import get_loss_function
+    from deepatlas_tpu.models import UNetTemplate, VoxelMorphCVPR2018
+    from deepatlas_tpu.train import TrainState, make_optimizer
+    from deepatlas_tpu.train.reg_steps import (make_joint_reg_step,
+                                               make_joint_seg_step)
+
+    nc = 3
+    shape = (2, 8, 8, 8, 1)
+    seg_model = UNetTemplate(encoders=((2, 4), (4, 4)), decoders=((4, 4, 4),),
+                             in_channel=1, n_classes=nc, bias=True, BN=True,
+                             act="LeakyReLU")
+    reg_model = VoxelMorphCVPR2018(enc_filters=(2, 4, 4, 4, 4),
+                                   dec_filters=(4, 4, 4, 2, 2))
+    moving = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    fixed = jnp.asarray(rng.rand(*shape).astype(np.float32))
+    mseg = jnp.asarray(rng.randint(0, nc, shape[:4]).astype(np.int32))
+    fseg = jnp.asarray(rng.randint(0, nc, shape[:4]).astype(np.int32))
+    has = jnp.asarray([True, False])
+
+    sv = seg_model.init(jax.random.PRNGKey(0), moving, train=False)
+    rv = reg_model.init(jax.random.PRNGKey(1), moving, fixed)
+    sup = get_loss_function("dice")(n_class=nc, weight_type="Uniform",
+                                    softmax=True)
+    sim = get_loss_function("lncc")(filter_size=5)
+    regl = get_loss_function("bendingEnergy")()
+
+    def run(mitigated):
+        fresh = jax.tree_util.tree_map(jnp.copy, sv)
+        ss = TrainState.create(apply_fn=seg_model.apply,
+                               params=fresh["params"],
+                               batch_stats=fresh.get("batch_stats", {}),
+                               tx=optax.sgd(1e-2))
+        rstate = TrainState.create(
+            apply_fn=reg_model.apply,
+            params=jax.tree_util.tree_map(jnp.copy, rv)["params"],
+            batch_stats={}, tx=optax.sgd(1e-2))
+        adt = jnp.bfloat16 if mitigated else None
+        seg_step = make_joint_seg_step(
+            sup, 1.0, 1.0, nc, anatomy_dtype=adt, two_pass=True,
+            hard_fused=False, checkpoint_apply=mitigated)
+        reg_step = make_joint_reg_step(sim, regl, 0.5, 1.0, nc,
+                                       anatomy_dtype=adt,
+                                       fused_anatomy=False)
+        rstate2, rm = reg_step(rstate, ss, moving, fixed, mseg, fseg, has,
+                               has)
+        ss2, sm = seg_step(ss, rstate2, moving, fixed, mseg, fseg, has, has)
+        return rstate2.params, ss2.params, rm, sm
+
+    rp_mit, sp_mit, rm_mit, sm_mit = run(True)
+    rp_ref, sp_ref, rm_ref, sm_ref = run(False)
+    for k in ("loss", "anatomy"):
+        assert np.isfinite(float(sm_mit[k])), k
+        np.testing.assert_allclose(float(sm_mit[k]), float(sm_ref[k]),
+                                   rtol=2e-2, err_msg=k)
+        np.testing.assert_allclose(float(rm_mit[k]), float(rm_ref[k]),
+                                   rtol=2e-2, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(sp_mit),
+                    jax.tree_util.tree_leaves(sp_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(rp_mit),
+                    jax.tree_util.tree_leaves(rp_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
 class TestOverflowGuard:
     """Auto-escalating max_disp guard (round-2 VERDICT weak #9): persistent
     disp_overflow warns / re-jits with a wider bound / falls back to the
@@ -396,19 +471,25 @@ class TestOverflowGuard:
         assert np.isfinite(exp.reg_best_score)
 
     def test_escalation_past_packed_bound_switches_to_xla(self, tmp_path):
-        """Escalating past MAX_PACKED_DISP must convert to the XLA-warp
-        switch: the Pallas kernels' 5-bit packed offset lists cannot
-        express wider bounds (pallas/warp.py::_pack_list n <= 31 — the
-        r04 escalation chip run crashed exactly there at max_disp=16)."""
+        """The escalation ladder past the packed bound: the first request
+        for max_disp past MAX_PACKED_DISP=10 lands ON 10 first (the widest
+        exact Pallas rung, round-4 VERDICT weak #1 — 8 -> 16 used to jump
+        straight past it), and only the NEXT trigger abandons the kernels
+        for the unbounded XLA warp — which must arrive with the HBM
+        mitigations on (bf16 anatomy + seg-apply remat: the r04 chip run
+        OOM'd the unmitigated fallback by 15.77 MiB)."""
         cfg = self._config(tmp_path, mode="escalate")
         cfg["max_disp"] = 8
         cfg["reg_model_settings"]["max_disp"] = 8
         cfg["overflow_guard"].update(limit=32)
         exp = DeepAtlasExperiment(cfg)
         exp.train()
-        # first escalation asks for 16 > MAX_PACKED_DISP=10 -> xla switch
+        # 8 -> 10 (MAX_PACKED_DISP rung) -> xla switch on the next trigger
+        assert exp.config["max_disp"] == 10
         assert exp.config["use_pallas_warp"] is False
         assert exp.reg_model.use_pallas_warp is False
+        assert exp.config["anatomy_bf16"] is True
+        assert exp.config["checkpoint_seg_apply"] is True
         assert np.isfinite(exp.reg_best_score)
 
 

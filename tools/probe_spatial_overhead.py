@@ -120,17 +120,58 @@ def main():
             batch_stats=jax.device_put(variables.get("batch_stats", {})),
             tx=make_optimizer(1e-3))
 
-    st = fresh()
-    out = sp_step(st, xs, ls)
-    np.asarray(out[1])
-    st = out[0]
-    t0 = time.time()
-    for _ in range(3):
-        out = sp_step(st, xs, ls)
+    def run_step(step, tag, model_=None, collect=False):
+        mv = (jax.device_get(model_.init(jax.random.PRNGKey(2), xi,
+                                         train=False))
+              if model_ is not None else variables)
+
+        def fresh_():
+            return TrainState.create(
+                apply_fn=(model_ or model).apply,
+                params=jax.device_put(mv["params"]),
+                batch_stats=jax.device_put(mv.get("batch_stats", {})),
+                tx=make_optimizer(1e-3))
+
+        st = fresh_()
+        if collect:
+            low = step.lower(st, xs, ls)
+            txt = low.compile().as_text()
+            n_ar = txt.count("all-reduce")
+            n_cp = txt.count("collective-permute")
+            n_cc = txt.count("custom-call")
+            print(f"  [{tag} compiled HLO: all-reduce x{n_ar}, "
+                  f"collective-permute x{n_cp}, custom-call x{n_cc}]",
+                  flush=True)
+        out = step(st, xs, ls)
+        np.asarray(out[1])
         st = out[0]
-    np.asarray(out[1])
-    print(f"5 spatial seg step:             {(time.time() - t0) / 3 * 1e3:8.1f} ms",
-          flush=True)
+        t0 = time.time()
+        for _ in range(3):
+            out = step(st, xs, ls)
+            st = out[0]
+        np.asarray(out[1])
+        print(f"{tag}: {(time.time() - t0) / 3 * 1e3:8.1f} ms", flush=True)
+
+    run_step(sp_step, "5 spatial seg step", collect=True)
+
+    # 6: BN=False removes the 2-per-BN sequential moment psums (fwd + their
+    # transposes in the backward) — if this collapses the time, the
+    # collective COUNT/latency is the problem, not the halo or the grads
+    model_nobn = UNetLight(in_channel=1, n_classes=32, bias=True, BN=False,
+                           dtype=jnp.bfloat16, packed=True)
+    step_nobn = make_spatial_seg_step(
+        model_nobn, factory, n_class=32, mesh=mesh,
+        criterion_kwargs=dict(weight_type="Uniform", softmax=True,
+                              eps=1e-6))
+    run_step(step_nobn, "6 spatial seg step BN=False", model_=model_nobn,
+             collect=True)
+
+    # 7: plain-jit full step on the same model (the 190 ms reference)
+    from deepatlas_tpu.train.steps import make_seg_train_step
+    criterion = factory(n_class=32, weight_type="Uniform", softmax=True,
+                        eps=1e-6)
+    plain_step = make_seg_train_step(criterion)
+    run_step(plain_step, "7 plain jit seg step")
 
 
 if __name__ == "__main__":
