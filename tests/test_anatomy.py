@@ -46,6 +46,7 @@ def test_binned_sum_matches_bincount(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_value_matches_dense(data):
     lab_m, lab_f, grid = data
     fused = hard_anatomy_dice(lab_m, lab_f, grid, NC, max_disp=R,
@@ -55,6 +56,7 @@ def test_value_matches_dense(data):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_grad_matches_dense(data):
     lab_m, lab_f, grid = data
     g_fused = jax.grad(lambda g: hard_anatomy_dice(
@@ -64,6 +66,7 @@ def test_grad_matches_dense(data):
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_grad_matches_dense(data):
     # fused_grad=True computes the gradient planes IN the forward kernel
     # (one joint-loop sweep; elementwise backward) — value and grad must

@@ -390,6 +390,7 @@ class TestPreprocessingTransforms:
         np.testing.assert_array_equal(out["image"], img)
 
 
+@pytest.mark.slow
 def test_make_augmenter_config_driven():
     """Config-driven augmentation (round-1 VERDICT missing item 5)."""
     import jax
@@ -490,6 +491,7 @@ class TestBSplineOrders:
         assert float(np.asarray(u).min()) >= 0.0
 
 
+@pytest.mark.slow
 def test_batch_augmenter_vmap_matches_per_element():
     """The batched augmenter is one jitted vmap program (round-2 VERDICT
     weak #6); per-element results must equal the sequential fold_in loop."""

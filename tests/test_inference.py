@@ -26,6 +26,7 @@ def net():
     return model, variables
 
 
+@pytest.mark.slow
 def test_tile_predictor_pads_ragged_chunks(net, rng):
     model, variables = net
     predict = make_tile_predictor(model.apply, variables, tile_batch=4)
@@ -98,6 +99,7 @@ def test_patch_sampler_config(tmp_path, rng):
     assert batch["segmentation"].shape[1:4] == (8, 8, 8)
 
 
+@pytest.mark.slow
 def test_infer_seg_cli_spatial_shards(tmp_path):
     """infer_seg.py --spatial-shards: EXACT whole-volume depth-sharded
     inference (no tile seams) through the CLI, restored from a trained

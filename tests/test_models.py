@@ -257,6 +257,7 @@ def _transfer_voxelmorph(params, tm):
 
 
 class TestVoxelMorph:
+    @pytest.mark.slow
     def test_forward_shapes_odd_sizes(self, rng):
         model = VoxelMorphCVPR2018()
         src = jnp.asarray(rng.rand(1, 11, 14, 13, 1).astype(np.float32))
@@ -306,6 +307,7 @@ class TestVoxelMorph:
 
 # ------------------------------------------------------------ fixed UNet
 
+@pytest.mark.slow
 class TestFixedUNet:
     def test_forward_shape(self, rng):
         model = UNet(in_channel=1, n_classes=3, bias=True, BN=False)

@@ -27,6 +27,7 @@ def transfer_params(std, bn, pk_model):
 
 
 @pytest.mark.parametrize("bn", [False, True])
+@pytest.mark.slow
 def test_packed_unet_matches_standard(rng, bn):
     x = jnp.asarray(rng.rand(*VOL).astype(np.float32))
     std_model = UNetLight(in_channel=1, n_classes=NC, bias=True, BN=bn)
@@ -42,6 +43,7 @@ def test_packed_unet_matches_standard(rng, bn):
                                atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_packed_unet_train_mode_bn_stats(rng):
     x = jnp.asarray(rng.rand(*VOL).astype(np.float32))
     std_model = UNetLight(in_channel=1, n_classes=NC, bias=True, BN=True)
@@ -64,6 +66,7 @@ def test_packed_unet_train_mode_bn_stats(rng):
                                atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_packed_unet_input_grads_match(rng):
     x = jnp.asarray(rng.rand(*VOL).astype(np.float32))
     ct = jnp.asarray(rng.randn(VOL[1], VOL[2], VOL[3], NC)
@@ -83,6 +86,7 @@ def test_packed_unet_input_grads_match(rng):
 
 
 @pytest.mark.parametrize("pl_levels", [1, 2, 3])
+@pytest.mark.slow
 def test_transfer_utility_and_deeper_packing(rng, pl_levels):
     """models/packed.py::transfer_unet_params maps the standard tree onto
     ANY packed_levels variant (checkpoint portability between variants);

@@ -33,6 +33,7 @@ def transfer(std):
     return {"params": out}
 
 
+@pytest.mark.slow
 def test_packed_voxelmorph_matches_standard(rng):
     src = jnp.asarray(rng.rand(*VOL).astype(np.float32))
     tgt = jnp.asarray(rng.rand(*VOL).astype(np.float32))
@@ -49,6 +50,7 @@ def test_packed_voxelmorph_matches_standard(rng):
                                atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_packed_voxelmorph_grads_flow(rng):
     src = jnp.asarray(rng.rand(*VOL).astype(np.float32))
     tgt = jnp.asarray(rng.rand(*VOL).astype(np.float32))

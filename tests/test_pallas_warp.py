@@ -80,6 +80,7 @@ class TestPallasForward:
 
 
 class TestPallasBackward:
+    @pytest.mark.slow
     def test_grad_wrt_grid_matches_xla(self, rng):
         vol = jnp.asarray(rng.rand(1, D, H, W, 1).astype(np.float32))
         disp = jnp.asarray(make_field(rng, 2.0))
@@ -100,6 +101,7 @@ class TestPallasBackward:
         np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                    atol=1e-3, rtol=1e-3)
 
+    @pytest.mark.slow
     def test_saturated_field_fwd_and_grads_match_xla(self, rng):
         """Clamp-saturated field (plateaus at exactly +-max_disp voxels, a
         smooth transition band sweeping every offset in between) — the
@@ -291,6 +293,7 @@ class TestValuesAdjoint:
         np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
                                    rtol=2e-4)
 
+    @pytest.mark.slow
     def test_channel_sum_is_ones_splat(self, rng):
         """splat(one_hot) summed over channels equals splat(ones) — the
         free warped-mass denominator of the f-hard branch."""
@@ -311,6 +314,7 @@ class TestValuesAdjoint:
                                    np.asarray(ones[..., 0]), atol=1e-4)
 
     @pytest.mark.parametrize("amp_factor", [0.5, 4.0])
+    @pytest.mark.slow
     def test_ct_sparse_flag_is_bit_identical(self, rng, amp_factor):
         """ct_sparse=False (drop the per-dy cotangent-mass skip) is a pure
         scheduling hint: the splat results are BIT-identical for smooth

@@ -128,6 +128,7 @@ class TestDPSeg:
         np.testing.assert_allclose(dp_dice, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestDPReg:
     def test_dp_reg_step_runs_and_reduces(self):
         rng = np.random.RandomState(0)
@@ -151,6 +152,7 @@ class TestDPReg:
         assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
 
 
+@pytest.mark.slow
 class TestDPExperiment:
     def test_seg_experiment_data_parallel(self, tmp_path):
         """End-to-end DP training through SegmentationExperiment on the
@@ -179,6 +181,7 @@ class TestDPExperiment:
             exp.train()
 
 
+@pytest.mark.slow
 class TestDPJointExperiment:
     def test_deepatlas_experiment_data_parallel(self, tmp_path):
         """train_deepatlas --data-parallel end-to-end on the virtual
@@ -220,6 +223,7 @@ class TestDPJointExperiment:
         assert np.isfinite(exp.seg_best_score)
 
 
+@pytest.mark.slow
 class TestDPJointKernelsEngaged:
     """The DP joint path with the Pallas kernels ACTUALLY ENGAGED inside
     shard_map (round-2 VERDICT weak #2): shapes deep enough for the slab
@@ -382,6 +386,7 @@ class TestDPJointKernelsEngaged:
             pallas_grid_sample(vol, grid, max_disp=8, require_kernel=True)
 
 
+@pytest.mark.slow
 def test_packed_models_inside_shard_map():
     """The packed-layout Pallas conv tier (models/packed.py) of BOTH
     flagship nets — forward AND backward — composed inside shard_map with
@@ -436,6 +441,7 @@ def test_packed_models_inside_shard_map():
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
 
 
+@pytest.mark.slow
 class TestSpatialExperiment:
     def test_seg_experiment_spatial_shards(self, tmp_path):
         """End-to-end whole-volume depth-sharded training through

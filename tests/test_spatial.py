@@ -85,6 +85,7 @@ def test_spatial_forward_matches_single(rng, BN):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_spatial_step_matches_single(rng):
     model = small_model(BN=True)
     x = jnp.asarray(rng.rand(2, 16, 8, 8, 1).astype(np.float32))
@@ -167,6 +168,7 @@ def packed_small_model(BN=True):
                         interpret=True)
 
 
+@pytest.mark.slow
 def test_spatial_packed_forward_matches_single(rng):
     """Depth-sharded PACKED forward == single-device packed forward: the
     packed conv halo-exchanges D planes and slices the interior of the
@@ -186,6 +188,7 @@ def test_spatial_packed_forward_matches_single(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_spatial_packed_step_matches_single(rng):
     """Depth-sharded PACKED train step == single-device packed step (loss,
     params, BN stats) — PackedBatchNorm moments psum over the axis, conv
@@ -216,6 +219,7 @@ def test_spatial_packed_step_matches_single(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_spatial_fixed_unet_forward(rng):
     """The fixed UNet (3 pools, unets.py:70-179) also runs depth-sharded."""
     from deepatlas_tpu.models import UNet
@@ -315,6 +319,7 @@ def test_spatial_voxelmorph_forward_matches_single(rng):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_spatial_reg_step_matches_single(rng):
     from deepatlas_tpu.losses import (_bending_factory,
                                       _lncc_factory)  # type: ignore
@@ -356,6 +361,7 @@ def test_spatial_reg_step_matches_single(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_spatial_joint_steps_match_single(rng):
     """Depth-sharded joint DeepAtlas reg + seg (soft-path) steps equal the
     single-device ones on a mixed-label pair (moving labeled, fixed not —
@@ -439,6 +445,7 @@ def test_spatial_joint_steps_match_single(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_spatial_reg_step_dp_sp_mesh(rng):
     """DP x SP registration: batch over 'data', depth over 'space' on a
     (2, 4) mesh — loss/metrics/updated params equal the single-device

@@ -76,6 +76,7 @@ def trained_experiment(tmp_path_factory):
     return exp, config, root
 
 
+@pytest.mark.slow
 class TestSegTraining:
     def test_training_improves_dice(self, trained_experiment):
         exp, _, _ = trained_experiment

@@ -33,6 +33,7 @@ def reg_config(root, n_classes=3, n_epochs=2):
     )
 
 
+@pytest.mark.slow
 class TestRegistrationTraining:
     @pytest.fixture(scope="class")
     def trained(self, tmp_path_factory):
@@ -57,6 +58,7 @@ class TestRegistrationTraining:
         assert 0.0 <= folding <= 1.0
 
 
+@pytest.mark.slow
 class TestDeepAtlasTraining:
     @pytest.fixture(scope="class")
     def trained(self, tmp_path_factory):
@@ -141,6 +143,7 @@ class TestDeepAtlasTraining:
                                            "test_log.txt"))
 
 
+@pytest.mark.slow
 def test_joint_seg_two_pass_matches_single_pass(rng):
     """The two-pass gradient split (chain-rule sum) is exact: same updated
     params as the single-pass step."""
@@ -198,6 +201,7 @@ def test_joint_seg_two_pass_matches_single_pass(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_joint_seg_hard_fused_matches_soft(rng):
     """The fully-labeled fast path (lax.cond -> C=1 matched anatomy value +
     supervised-only backwards) produces the same updated params as the dense
@@ -296,6 +300,7 @@ def test_joint_seg_hard_fused_matches_soft(rng):
                                        atol=1e-6, err_msg=tag)
 
 
+@pytest.mark.slow
 def test_joint_steps_xla_fallback_config(rng):
     """Pin the guard's post-escalation fallback configuration (round-4
     VERDICT next #1): unbounded XLA warp, fused_anatomy/hard_fused off,
@@ -454,6 +459,7 @@ class TestOverflowGuard:
             log_dir=str(root / "logs"),
         )
 
+    @pytest.mark.slow
     def test_escalation_rejits_with_wider_bound(self, tmp_path):
         exp = DeepAtlasExperiment(self._config(tmp_path, mode="escalate"))
         exp.train()
@@ -463,6 +469,7 @@ class TestOverflowGuard:
         assert exp.reg_model.max_disp == 8
         assert np.isfinite(exp.reg_best_score)
 
+    @pytest.mark.slow
     def test_xla_fallback_disables_pallas_warp(self, tmp_path):
         exp = DeepAtlasExperiment(self._config(tmp_path, mode="xla"))
         exp.train()
@@ -470,6 +477,7 @@ class TestOverflowGuard:
         assert exp.reg_model.use_pallas_warp is False
         assert np.isfinite(exp.reg_best_score)
 
+    @pytest.mark.slow
     def test_escalation_past_packed_bound_switches_to_xla(self, tmp_path):
         """The escalation ladder past the packed bound: the first request
         for max_disp past MAX_PACKED_DISP=10 lands ON 10 first (the widest
@@ -493,6 +501,7 @@ class TestOverflowGuard:
         assert np.isfinite(exp.reg_best_score)
 
 
+@pytest.mark.slow
 def test_joint_reg_skips_frozen_seg_when_fully_labeled(rng):
     """The reg phase's frozen-seg-net label substitution is guarded by a
     lax.cond per side: when a side is fully labeled its frozen U-Net forward
