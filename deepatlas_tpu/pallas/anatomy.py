@@ -157,6 +157,8 @@ def _matched_fused_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, meta_ref,
 
     cp.wait()
 
+    zero = jnp.zeros(gz.shape, jnp.float32)
+
     def z_body(j1, accs):
         s = _ldecode(meta_ref, zi, 2, j1)
         tz_f = gz - s.astype(jnp.float32)
@@ -164,11 +166,20 @@ def _matched_fused_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, meta_ref,
         dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
         ndy_s = jmeta_ref[zi, s * _JW]
 
-        def y_body(j2, accs):
+        # hoist the dy-invariant factors (wz, dwz) and the loop-invariant
+        # x-blend (fx0, fx) out of the inner loop: accumulate only the
+        # per-plane sums p = sum_dy wy*v0, q = sum_dy wy*v1 and
+        # ay_p = sum_dy dwy*xv, then reconstruct t = fx0*p + fx*q (shared
+        # by the value and z-grad) and the x-grad u = q - p ONCE per s.
+        # The sweep is elementwise-VPU-bound (r4 breakdown: value 225 ms,
+        # value+grad 435 ms at identical gather/roll traffic), so per-trip
+        # vector-op count is the cost — this drops the four
+        # wz*wy*xv-style triple-product chains from every trip.
+        def y_body(j2, pqa):
             dy = (jax.lax.shift_right_logical(
                 jmeta_ref[zi, s * _JW + 1 + j2 // 6],
                 5 * (j2 % 6)) & 31) - (r + 1)
-            am, az, ay, ax = accs
+            p, q, ay_p = pqa
             k = jnp.mod(hp - (yp + dy), hp)
             rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
             g1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape), prep)
@@ -176,22 +187,21 @@ def _matched_fused_kernel(gz_ref, gy_ref, gx_ref, lf_ref, lab_ref, meta_ref,
                 pltpu.roll(rolled, 1, 1), gz.shape), prep)
             v0 = jnp.where(jnp.abs(g0 - lf) < 0.5, x_ok0f, 0.0)
             v1 = jnp.where(jnp.abs(g1 - lf) < 0.5, x_ok1f, 0.0)
-            xv = fx0 * v0 + fx * v1
-            dxv = v1 - v0
             ty_f = ty - dy.astype(jnp.float32)
             y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
             wy = jnp.where(y_in, _tent(ty_f), 0.0)
             dwy = jnp.where(y_in & (jnp.abs(ty_f) < 1.0),
                             -jnp.sign(ty_f), 0.0)
-            am = am + wz * wy * xv
-            az = az + dwz * wy * xv
-            ay = ay + wz * dwy * xv
-            ax = ax + wz * wy * dxv
-            return am, az, ay, ax
+            xv = fx0 * v0 + fx * v1
+            return p + wy * v0, q + wy * v1, ay_p + dwy * xv
 
-        return jax.lax.fori_loop(0, ndy_s, y_body, accs)
+        p, q, ay_p = jax.lax.fori_loop(0, ndy_s, y_body,
+                                       (zero, zero, zero))
+        am, az, ay, ax = accs
+        t = fx0 * p + fx * q
+        return (am + wz * t, az + dwz * t, ay + wz * ay_p,
+                ax + wz * (q - p))
 
-    zero = jnp.zeros(gz.shape, jnp.float32)
     am, az, ay, ax = jax.lax.fori_loop(0, ns, z_body,
                                        (zero, zero, zero, zero))
     out_ref[...] = am
@@ -237,18 +247,23 @@ def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
 
     cp.wait()
 
+    zero = jnp.zeros(gz.shape, jnp.float32)
+
     def z_body(j1, accs):
         s = _ldecode(meta_ref, zi, 2, j1)
         tz_f = gz - s.astype(jnp.float32)
-        wz = _tent(tz_f)
-        dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
+        # fold ct into the dy-invariant per-plane factors (see the fused
+        # kernel's hoisting note): the inner loop accumulates only
+        # p/q/ay_p, the triple-product chains happen once per s
+        ctwz = ct * _tent(tz_f)
+        ctdwz = ct * jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
         ndy_s = jmeta_ref[zi, s * _JW]
 
-        def y_body(j2, accs):
+        def y_body(j2, pqa):
             dy = (jax.lax.shift_right_logical(
                 jmeta_ref[zi, s * _JW + 1 + j2 // 6],
                 5 * (j2 % 6)) & 31) - (r + 1)
-            az, ay, ax = accs
+            p, q, ay_p = pqa
             k = jnp.mod(hp - (yp + dy), hp)
             rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
             g1 = _gather_pre(jnp.broadcast_to(rolled, gz.shape), prep)
@@ -256,21 +271,20 @@ def _matched_bwd_kernel(gz_ref, gy_ref, gx_ref, lf_ref, ct_ref, lab_ref,
                 pltpu.roll(rolled, 1, 1), gz.shape), prep)
             v0 = jnp.where(jnp.abs(g0 - lf) < 0.5, x_ok0f, 0.0)
             v1 = jnp.where(jnp.abs(g1 - lf) < 0.5, x_ok1f, 0.0)
-            xv = fx0 * v0 + fx * v1
-            dxv = v1 - v0
             ty_f = ty - dy.astype(jnp.float32)
             y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
             wy = jnp.where(y_in, _tent(ty_f), 0.0)
             dwy = jnp.where(y_in & (jnp.abs(ty_f) < 1.0),
                             -jnp.sign(ty_f), 0.0)
-            az = az + ct * dwz * wy * xv
-            ay = ay + ct * wz * dwy * xv
-            ax = ax + ct * wz * wy * dxv
-            return az, ay, ax
+            xv = fx0 * v0 + fx * v1
+            return p + wy * v0, q + wy * v1, ay_p + dwy * xv
 
-        return jax.lax.fori_loop(0, ndy_s, y_body, accs)
+        p, q, ay_p = jax.lax.fori_loop(0, ndy_s, y_body,
+                                       (zero, zero, zero))
+        az, ay, ax = accs
+        t = fx0 * p + fx * q
+        return (az + ctdwz * t, ay + ctwz * ay_p, ax + ctwz * (q - p))
 
-    zero = jnp.zeros(gz.shape, jnp.float32)
     az, ay, ax = jax.lax.fori_loop(0, ns, z_body, (zero, zero, zero))
     dgz_ref[...] = az
     dgy_ref[...] = ay

@@ -462,40 +462,47 @@ def _bwd_grid_kernel(gz_ref, gy_ref, gx_ref, ct_ref, vol_ref, meta_ref,
 
     cp.wait()
 
+    zero = jnp.zeros(gz.shape, jnp.float32)
+
     def z_body(j1, accs):
         s = _ldecode(meta_ref, zi, 2, j1)
         tz_f = gz - s.astype(jnp.float32)
-        wz = _tent(tz_f)
+        # fold ct into the dy-invariant per-plane factors and hoist the
+        # triple-product chains out of the inner loop (see
+        # anatomy.py::_matched_fused_kernel): accumulate p = sum wy*v0,
+        # q = sum wy*v1, ay_p = sum dwy*xv per plane, reconstruct
+        # t = fx0*p + fx*q (z-grad) and q - p (x-grad) once per s — the
+        # sweep is elementwise-VPU-bound, per-trip vector ops are the cost
+        ctwz = ct * _tent(tz_f)
         # d tent(t)/dt = -sign(t) on |t|<1, 0 outside
-        dwz = jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
+        ctdwz = ct * jnp.where(jnp.abs(tz_f) < 1.0, -jnp.sign(tz_f), 0.0)
         ndy_s = jmeta_ref[zi, s * _JW]
 
-        def y_body(j2, accs):
+        def y_body(j2, pqa):
             dy = (jax.lax.shift_right_logical(
                 jmeta_ref[zi, s * _JW + 1 + j2 // 6],
                 5 * (j2 % 6)) & 31) - (r + 1)
-            az, ay, ax = accs
+            p, q, ay_p = pqa
             k = jnp.mod(hp - (yp + dy), hp)
             rolled = pltpu.roll(slab[s].astype(jnp.float32), k, 0)[0:h]
             v1 = jnp.where(x_ok1, _gather_pre(
                 jnp.broadcast_to(rolled, gz.shape), prep), 0.0)
             v0 = jnp.where(x_ok0, _gather_pre(jnp.broadcast_to(
                 pltpu.roll(rolled, 1, 1), gz.shape), prep), 0.0)
-            xv = fx0 * v0 + fx * v1
-            dxv = v1 - v0
             ty_f = ty - dy.astype(jnp.float32)
             y_in = (rows + dy >= 0) & (rows + dy <= h - 1)
             wy = jnp.where(y_in, _tent(ty_f), 0.0)
             dwy = jnp.where(y_in & (jnp.abs(ty_f) < 1.0),
                             -jnp.sign(ty_f), 0.0)
-            az = az + ct * dwz * wy * xv
-            ay = ay + ct * wz * dwy * xv
-            ax = ax + ct * wz * wy * dxv
-            return az, ay, ax
+            xv = fx0 * v0 + fx * v1
+            return p + wy * v0, q + wy * v1, ay_p + dwy * xv
 
-        return jax.lax.fori_loop(0, ndy_s, y_body, accs)
+        p, q, ay_p = jax.lax.fori_loop(0, ndy_s, y_body,
+                                       (zero, zero, zero))
+        az, ay, ax = accs
+        t = fx0 * p + fx * q
+        return (az + ctdwz * t, ay + ctwz * ay_p, ax + ctwz * (q - p))
 
-    zero = jnp.zeros(gz.shape, jnp.float32)
     az, ay, ax = jax.lax.fori_loop(0, ns, z_body, (zero, zero, zero))
     # dgrid sums over channels; the channel axis is the fastest-varying
     # grid dim so the output block stays resident across the accumulation
