@@ -123,9 +123,12 @@ class PackedBatchNorm(nn.Module):
             s2 = s2.reshape(-1, c).sum(axis=0)
             n_valid = self.n_valid
             if self.spatial_axis is not None:
-                s = jax.lax.psum(s, self.spatial_axis)
-                s2 = jax.lax.psum(s2, self.spatial_axis)
-                n_valid = n_valid * jax.lax.axis_size(self.spatial_axis)
+                n_sh = jax.lax.axis_size(self.spatial_axis)
+                if n_sh > 1:   # axis size is static — skip at mesh-of-1
+                    # ONE psum for both moments (collective launches are
+                    # the cost, not the 2C floats)
+                    s, s2 = jax.lax.psum((s, s2), self.spatial_axis)
+                n_valid = n_valid * n_sh
             mean = s / n_valid
             var = jnp.maximum(s2 / n_valid - jnp.square(mean), 0.0)
             if not self.is_initializing():

@@ -23,6 +23,7 @@ except ImportError:  # pragma: no cover - older jax
 from ..metrics.confusion import confusion_matrix, dice_from_confusion
 from ..train.reg_steps import _BN_MOMENTUM
 from ..train.steps import TrainState, _apply_model
+from .collectives import pmean_tree
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
@@ -59,10 +60,9 @@ def make_dp_seg_train_step(criterion: Callable, mesh: Mesh,
 
         (loss, (new_bn, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        grads = lax.pmean(grads, axis_name)
-        loss = lax.pmean(loss, axis_name)
-        # cross-replica BN statistics (SURVEY.md §7 hard-parts list)
-        new_bn = lax.pmean(new_bn, axis_name)
+        # ONE bucketed all-reduce for grads + loss + cross-replica BN
+        # statistics (SURVEY.md §7 hard-parts list; collectives.py)
+        loss, grads, new_bn = pmean_tree((loss, grads, new_bn), axis_name)
         return loss, grads, new_bn, logits
 
     sharded_grads = shard_map(
@@ -227,7 +227,8 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
         (loss, (sim, reg, anat)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(reg_state.params)
         metrics = {"loss": loss, "sim": sim, "reg": reg, "anatomy": anat}
-        return lax.pmean(grads, axis_name), lax.pmean(metrics, axis_name)
+        # one bucketed all-reduce for the grad tree + metric scalars
+        return pmean_tree((grads, metrics), axis_name)
 
     def _soft_dice(warped_m, f_probs):
         inter = jnp.sum(warped_m[..., 1:] * f_probs[..., 1:],
@@ -253,7 +254,8 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
         lm = jnp.any(m_has).astype(jnp.float32)
         lf = jnp.any(f_has).astype(jnp.float32)
         n_lab = jnp.maximum(lax.psum(lm + lf, axis_name), 1.0)
-        n_dev = lax.psum(jnp.ones(()), axis_name)
+        # the axis size is static under shard_map — no collective needed
+        n_dev = float(lax.axis_size(axis_name))
         wm = lm * n_dev / n_lab        # per-shard supervised weight (moving)
         wf = lf * n_dev / n_lab
 
@@ -442,13 +444,15 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
             else:
                 grads, new_bn2, anat, sup_m, sup_f = soft_branch(None)
 
-            sup = lax.psum(sup_m * lm + sup_f * lf, axis_name) / n_lab
-            anat_mean = lax.pmean(anat, axis_name)
+            # one bucketed all-reduce closes the whole phase: grads, BN
+            # stats and the metric numerators ride a single collective
+            grads, new_bn2, anat_mean, sup_x = pmean_tree(
+                (grads, new_bn2, anat, sup_m * lm + sup_f * lf), axis_name)
+            sup = sup_x * n_dev / n_lab
             loss = anatomy_weight * anat_mean + supervised_weight * sup
             metrics = {"loss": loss, "anatomy": anat_mean,
                        "supervised": sup}
-            return (lax.pmean(grads, axis_name),
-                    lax.pmean(new_bn2, axis_name), metrics)
+            return grads, new_bn2, metrics
 
         def loss_fn(params):
             logits_m, new_bn = _apply_model(seg_state, params, moving,
@@ -471,8 +475,7 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
         (loss, (new_bn, anat, sup)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(seg_state.params)
         metrics = {"loss": loss, "anatomy": anat, "supervised": sup}
-        return (lax.pmean(grads, axis_name), lax.pmean(new_bn, axis_name),
-                lax.pmean(metrics, axis_name))
+        return pmean_tree((grads, new_bn, metrics), axis_name)
 
     batch_specs = (P(axis_name),) * 6
     sharded_reg = shard_map(reg_grads_fn, mesh=mesh,
@@ -512,7 +515,7 @@ def make_dp_reg_train_step(sim_loss: Callable, reg_loss: Callable,
         (loss, (sim, reg)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         metrics = {"loss": loss, "sim": sim, "reg": reg}
-        return (lax.pmean(metrics, axis_name), lax.pmean(grads, axis_name))
+        return pmean_tree((metrics, grads), axis_name)
 
     sharded_grads = shard_map(
         grads_fn, mesh=mesh,

@@ -47,6 +47,7 @@ except ImportError:  # pragma: no cover
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.steps import TrainState, _apply_model
+from .collectives import pmean_tree, psum_tree
 
 
 def shard_volume_batch(batch, mesh: Mesh, axis: str = "space",
@@ -118,8 +119,9 @@ def make_spatial_seg_step(model, criterion_factory: Callable, n_class: int,
         # n * grad, and pmean (NOT psum) recovers the exact single-device
         # gradient (verified leaf-for-leaf in tests/test_spatial.py).
         # BN stats come out identical on every shard (flax axis_name
-        # moment reduction) — no extra handling.
-        grads = jax.lax.pmean(grads, loss_axes)
+        # moment reduction) — no extra handling.  pmean_tree: one bucketed
+        # all-reduce for the whole grad tree, none at all at mesh-of-1.
+        grads = pmean_tree(grads, loss_axes)
         state = state.apply_gradients(grads, new_bn)
         return state, loss, logits
 
@@ -175,11 +177,11 @@ def make_spatial_reg_step(model, sim_factory: Callable,
         (loss, (sim, reg)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         # pmean, not psum: see make_spatial_seg_step on psum's transpose
-        grads = jax.lax.pmean(grads, loss_axes)
+        grads = pmean_tree(grads, loss_axes)
         state = state.apply_gradients(grads)
         metrics = {"loss": loss, "sim": sim, "reg": reg}
         if data_axis is not None:
-            metrics = jax.lax.pmean(metrics, data_axis)
+            metrics = pmean_tree(metrics, data_axis)
         return state, metrics
 
     sharded = shard_map(
@@ -204,8 +206,7 @@ def _spatial_soft_dice(src_probs, tgt_probs, axis: str,
                     dtype=jnp.float32)
     den = jnp.sum(src_probs[..., 1:], axis=(1, 2, 3), dtype=jnp.float32) + \
         jnp.sum(tgt_probs[..., 1:], axis=(1, 2, 3), dtype=jnp.float32)
-    inter = jax.lax.psum(inter, axis)
-    den = jax.lax.psum(den, axis)
+    inter, den = psum_tree((inter, den), axis)
     return 1.0 - jnp.mean(2.0 * inter / (den + eps))
 
 
@@ -300,7 +301,7 @@ def make_spatial_joint_steps(seg_model, reg_model, sim_factory: Callable,
 
         (loss, (sim, reg, anat, deform)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(reg_state.params)
-        grads = jax.lax.pmean(grads, axis)
+        grads = pmean_tree(grads, axis)
         reg_state = reg_state.apply_gradients(grads)
         return reg_state, {
             "loss": loss, "sim": sim, "reg": reg, "anatomy": anat,
@@ -344,7 +345,7 @@ def make_spatial_joint_steps(seg_model, reg_model, sim_factory: Callable,
 
         (loss, (new_bn, anat, sup)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(seg_state.params)
-        grads = jax.lax.pmean(grads, axis)
+        grads = pmean_tree(grads, axis)
         seg_state = seg_state.apply_gradients(grads, new_bn)
         return seg_state, {"loss": loss, "anatomy": anat, "supervised": sup}
 
