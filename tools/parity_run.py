@@ -201,56 +201,83 @@ def main():
                          "(trajectory-level criterion: identical init and "
                          "sample order, but f32-vs-torch op-order numerics "
                          "compound over hundreds of steps)")
-    ap.add_argument("--seed", type=int, default=230)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[230, 231, 232],
+                    help="one full trajectory comparison per seed (round-4 "
+                         "VERDICT next #7: the single-seed f32 margin was "
+                         "0.043 of 0.05 — multi-seed tails are the "
+                         "evidence that parity is not one lucky draw)")
     ap.add_argument("--skip-packed", action="store_true")
     ap.add_argument("--out", default="PARITY_RUN.json")
     args = ap.parse_args()
 
     shape = tuple(args.size)
     nc = args.n_classes
-    rng = np.random.RandomState(args.seed)
-    vols = [make_volume(rng, shape, nc)
-            for _ in range(args.n_train + args.n_valid)]
-    images = np.stack([v[0] for v in vols[:args.n_train]])
-    labels = np.stack([v[1] for v in vols[:args.n_train]]).astype(np.int32)
-    val_images = np.stack([v[0] for v in vols[args.n_train:]])
-    val_labels = np.stack(
-        [v[1] for v in vols[args.n_train:]]).astype(np.int32)
+    tail = max(1, min(args.tail, args.epochs))
+    per_seed = []
+    for seed in args.seeds:
+        rng = np.random.RandomState(seed)
+        vols = [make_volume(rng, shape, nc)
+                for _ in range(args.n_train + args.n_valid)]
+        images = np.stack([v[0] for v in vols[:args.n_train]])
+        labels = np.stack(
+            [v[1] for v in vols[:args.n_train]]).astype(np.int32)
+        val_images = np.stack([v[0] for v in vols[args.n_train:]])
+        val_labels = np.stack(
+            [v[1] for v in vols[args.n_train:]]).astype(np.int32)
 
-    order = np.random.RandomState(args.seed + 1)
-    perms = [order.permutation(args.n_train) for _ in range(args.epochs)]
+        order = np.random.RandomState(seed + 1)
+        perms = [order.permutation(args.n_train)
+                 for _ in range(args.epochs)]
 
-    t0 = time.time()
-    jax_f32, init_vars = run_jax(images, labels, val_images, val_labels,
-                                 perms, nc, args.lr, args.eps, packed=False)
-    t_jax = time.time() - t0
-    print(f"jax f32 curve: {jax_f32}  ({t_jax:.0f}s)", flush=True)
-
-    jax_packed = None
-    if not args.skip_packed:
         t0 = time.time()
-        jax_packed, _ = run_jax(images, labels, val_images, val_labels,
-                                perms, nc, args.lr, args.eps, packed=True,
-                                init_vars=init_vars)
-        print(f"jax bf16 packed curve: {jax_packed}  "
-              f"({time.time() - t0:.0f}s)", flush=True)
+        jax_f32, init_vars = run_jax(images, labels, val_images,
+                                     val_labels, perms, nc, args.lr,
+                                     args.eps, packed=False)
+        t_jax = time.time() - t0
+        print(f"[seed {seed}] jax f32 curve: {jax_f32}  ({t_jax:.0f}s)",
+              flush=True)
 
-    init_np = {
-        "params": init_vars["params"],
-        "batch_stats": init_vars.get("batch_stats", {}),
-    }
-    t0 = time.time()
-    torch_curve = run_torch(images, labels, val_images, val_labels, perms,
-                            init_np, nc, args.lr, args.eps)
-    t_torch = time.time() - t0
-    print(f"torch f32 curve: {torch_curve}  ({t_torch:.0f}s)", flush=True)
+        jax_packed = None
+        if not args.skip_packed:
+            t0 = time.time()
+            jax_packed, _ = run_jax(images, labels, val_images, val_labels,
+                                    perms, nc, args.lr, args.eps,
+                                    packed=True, init_vars=init_vars)
+            print(f"[seed {seed}] jax bf16 packed curve: {jax_packed}  "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+        init_np = {
+            "params": init_vars["params"],
+            "batch_stats": init_vars.get("batch_stats", {}),
+        }
+        t0 = time.time()
+        torch_curve = run_torch(images, labels, val_images, val_labels,
+                                perms, init_np, nc, args.lr, args.eps)
+        t_torch = time.time() - t0
+        print(f"[seed {seed}] torch f32 curve: {torch_curve}  "
+              f"({t_torch:.0f}s)", flush=True)
+
+        tm_t = float(np.mean(torch_curve[-tail:]))
+        tm_j = float(np.mean(jax_f32[-tail:]))
+        tm_p = float(np.mean(jax_packed[-tail:])) if jax_packed else None
+        per_seed.append({
+            "seed": seed,
+            "torch_valid_dice": torch_curve,
+            "jax_f32_valid_dice": jax_f32,
+            "jax_bf16_packed_valid_dice": jax_packed,
+            "tail_mean_torch": tm_t,
+            "tail_mean_f32": tm_j,
+            "tail_mean_packed": tm_p,
+            "tail_abs_diff_f32": abs(tm_t - tm_j),
+            "tail_abs_diff_packed": (abs(tm_t - tm_p)
+                                     if tm_p is not None else None),
+            "pass": abs(tm_t - tm_j) <= args.tolerance and (
+                tm_p is None or abs(tm_t - tm_p) <= args.tolerance),
+            "wall_s": {"torch": round(t_torch, 1),
+                       "jax_f32": round(t_jax, 1)},
+        })
 
     spot = warp_mse_spot_check([24, 24, 24])
-
-    tail = max(1, min(args.tail, args.epochs))
-    tm_t = float(np.mean(torch_curve[-tail:]))
-    tm_j = float(np.mean(jax_f32[-tail:]))
-    tm_p = float(np.mean(jax_packed[-tail:])) if jax_packed else None
 
     out = {
         "recipe": {
@@ -258,12 +285,9 @@ def main():
             "n_train": args.n_train, "n_valid": args.n_valid,
             "epochs": args.epochs, "lr": args.lr, "loss":
             "dice Uniform softmax eps=%g" % args.eps,
-            "optimizer": "Adam", "seed": args.seed,
+            "optimizer": "Adam", "seeds": args.seeds,
             "identical_init": True, "identical_sample_order": True,
         },
-        "torch_valid_dice": torch_curve,
-        "jax_f32_valid_dice": jax_f32,
-        "jax_bf16_packed_valid_dice": jax_packed,
         # compare the settled tail, not the single final epoch: around the
         # first "breakthrough" epoch the dice trajectory is dominated by
         # seed/order noise (the r04 8-epoch run had torch 0.31->0.23 and
@@ -271,17 +295,15 @@ def main():
         # comparison meaningless); the mean over the last `tail` epochs of
         # a longer run is the stable statistic
         "tail_epochs": tail,
-        "tail_mean_torch": tm_t,
-        "tail_mean_f32": tm_j,
-        "tail_mean_packed": tm_p,
-        "tail_abs_diff_f32": abs(tm_t - tm_j),
-        "tail_abs_diff_packed": (abs(tm_t - tm_p)
-                                 if tm_p is not None else None),
+        "seeds": per_seed,
+        "max_tail_abs_diff_f32": max(s["tail_abs_diff_f32"]
+                                     for s in per_seed),
+        "max_tail_abs_diff_packed": max(
+            (s["tail_abs_diff_packed"] for s in per_seed
+             if s["tail_abs_diff_packed"] is not None), default=None),
         "tolerance": args.tolerance,
-        "pass": abs(tm_t - tm_j) <= args.tolerance and (
-            tm_p is None or abs(tm_t - tm_p) <= args.tolerance),
+        "pass": all(s["pass"] for s in per_seed),
         "voxelmorph_spot_check": spot,
-        "wall_s": {"torch": round(t_torch, 1), "jax_f32": round(t_jax, 1)},
     }
     with open(os.path.join(_ROOT, args.out), "w") as f:
         json.dump(out, f, indent=1)
