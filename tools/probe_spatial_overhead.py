@@ -14,7 +14,6 @@ Run: python tools/probe_spatial_overhead.py
 """
 from __future__ import annotations
 
-import faulthandler
 import os
 import sys
 import time
@@ -22,10 +21,9 @@ from functools import partial
 
 import numpy as np
 
-# the first two launch attempts blocked before the first jit returned
-# (3 s CPU in 12 min, futex wait) while one-off scripts ran fine —
-# dump all thread stacks every 3 min so a recurrence is diagnosable
-faulthandler.dump_traceback_later(180, repeat=True, file=sys.stderr)
+# NOTE: do NOT enable faulthandler.dump_traceback_later here — its watchdog
+# thread deadlocks the axon TPU client (bisected r05: the identical script
+# ran with it removed and hung with it present).
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -40,12 +38,17 @@ except ImportError:  # older jax
 
 
 def timed(fn, *args, iters=5):
+    """``fn`` must return a jit-produced SCALAR: the two r05 launch
+    attempts hung forever in the warmup sync because the old
+    ``out.ravel()[0]`` dispatched EAGER ops through the axon tunnel
+    (bench.py/bench_spatial_onchip, which only np.asarray jit outputs,
+    ran fine in the same window)."""
     out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    np.asarray(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    np.asarray(out)
     return (time.time() - t0) / iters
 
 
@@ -53,7 +56,7 @@ def main():
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("space",))
     x = jnp.ones((8, 256, 256), jnp.float32)
 
-    t = timed(jax.jit(lambda v: v * 2.0 + 1.0), x)
+    t = timed(jax.jit(lambda v: jnp.sum(v * 2.0 + 1.0)), x)
     print(f"1 plain jit elementwise:        {t * 1e3:8.1f} ms", flush=True)
 
     def mk(n_psum):
@@ -61,7 +64,7 @@ def main():
             v = v * 2.0 + 1.0
             for _ in range(n_psum):
                 v = v + jax.lax.psum(jnp.sum(v[:1, :1]), "space") * 0.0
-            return v
+            return jnp.sum(v)
         return jax.jit(shard_map(body, mesh=mesh, in_specs=(P(),),
                                  out_specs=P(), check_vma=False))
 
@@ -84,18 +87,20 @@ def main():
     variables = jax.device_get(model.init(jax.random.PRNGKey(2), xi,
                                           train=False))
 
-    fwd = jax.jit(partial(model.apply, train=False))
+    fwd = jax.jit(lambda v, a: jnp.sum(
+        model.apply(v, a, train=False).astype(jnp.float32)))
     t = timed(fwd, jax.device_put(variables), xi, iters=3)
     print(f"3 packed fwd plain:             {t * 1e3:8.1f} ms", flush=True)
 
     sp_model = dataclasses.replace(model, spatial_axis="space")
 
     def sp_fwd(v, a):
-        return sp_model.apply(v, a, train=False)
+        return jnp.sum(sp_model.apply(v, a, train=False)
+                       .astype(jnp.float32))
 
     sp_jit = jax.jit(shard_map(sp_fwd, mesh=mesh,
                                in_specs=(P(), P(None, "space")),
-                               out_specs=P(None, "space"),
+                               out_specs=P(),
                                check_vma=False))
     t = timed(sp_jit, jax.device_put(variables), xi, iters=3)
     print(f"4 packed fwd spatial shardmap:  {t * 1e3:8.1f} ms", flush=True)
