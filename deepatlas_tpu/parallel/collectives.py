@@ -68,3 +68,50 @@ def pmean_tree(tree, axis_name):
 def psum_tree(tree, axis_name):
     """``lax.psum`` analogue of :func:`pmean_tree`."""
     return _reduce_tree(tree, axis_name, mean=False)
+
+
+def _bind1(f, axis_name: str):
+    """Bind ``axis_name`` around ``f`` with a size-1 ``vmap`` (no mapped
+    inputs): ``lax.psum``/``axis_size``/``axis_index``/``ppermute`` inside
+    resolve against the trivial axis, so shard_map-local code runs
+    unchanged — but the jitted program is a plain single-device module."""
+    vm = jax.vmap(f, in_axes=None, out_axes=0, axis_size=1,
+                  axis_name=axis_name)
+
+    def g(*args):
+        return jax.tree_util.tree_map(lambda x: x[0], vm(*args))
+
+    return g
+
+
+def maybe_shard_map(f, mesh, in_specs, out_specs, axis_names):
+    """``shard_map`` — unless every mesh axis in ``axis_names`` has size 1,
+    in which case the axes are bound with size-1 ``vmap``s instead.
+
+    The degenerate-mesh specialization (round-5): a mesh-of-1 shard_map is
+    semantically the identity, but jit compiles it as an SPMD-partitioned
+    module, and under the axon TPU client SPMD executables materialize
+    their non-aliased outputs through the host tunnel — measured 192.8 ms
+    vs 34.7 s for the SAME full-size seg train step with and without SPMD
+    partitioning (tools/probe_spatial_inputs.py, PERF.md round-5).  On any
+    backend the degenerate case also skips SPMD compilation and partition
+    bookkeeping outright.  The size-1 ``vmap`` binding runs the IDENTICAL
+    local-step code (collectives become identities at trace time), so the
+    multi-device and 1-device paths cannot drift; tests/test_spatial.py
+    and tests/test_parallel.py pin both against the plain steps."""
+    if isinstance(axis_names, str):
+        axis_names = (axis_names,)
+    n = 1
+    for ax in axis_names:
+        n *= mesh.shape[ax]
+    if n > 1:
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    g = f
+    for ax in axis_names:
+        g = _bind1(g, ax)
+    return g

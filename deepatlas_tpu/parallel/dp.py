@@ -15,19 +15,20 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-try:  # jax >= 0.8 promotes shard_map out of experimental
-    from jax import shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
-
 from ..metrics.confusion import confusion_matrix, dice_from_confusion
 from ..train.reg_steps import _BN_MOMENTUM
 from ..train.steps import TrainState, _apply_model
-from .collectives import pmean_tree
+from .collectives import maybe_shard_map, pmean_tree
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Device-put arrays sharded on their leading (batch) axis."""
+    """Device-put arrays sharded on their leading (batch) axis.
+
+    Degenerate mesh (size 1): plain uncommitted put — committed
+    NamedShardings force SPMD-compiled modules, which the axon TPU client
+    runs pathologically slowly (PERF.md round-5)."""
+    if mesh.size == 1:
+        return jax.tree_util.tree_map(jax.device_put, batch)
     sharding = NamedSharding(mesh, P(axis_name))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding, may_alias=False), batch)
@@ -41,6 +42,9 @@ def replicate(tree, mesh: Mesh):
     ``may_alias=False`` on the CPU backend), which would let the donation
     invalidate the caller's original arrays.
     """
+    if mesh.size == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.copy(x)), tree)
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(jnp.copy(x), sharding, may_alias=False),
@@ -65,11 +69,10 @@ def make_dp_seg_train_step(criterion: Callable, mesh: Mesh,
         loss, grads, new_bn = pmean_tree((loss, grads, new_bn), axis_name)
         return loss, grads, new_bn, logits
 
-    sharded_grads = shard_map(
-        grads_fn, mesh=mesh,
+    sharded_grads = maybe_shard_map(
+        grads_fn, mesh,
         in_specs=(P(), P(axis_name), P(axis_name)),
-        out_specs=(P(), P(), P(), P(axis_name)),
-        check_vma=False)
+        out_specs=(P(), P(), P(), P(axis_name)), axis_names=(axis_name,))
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, images, labels):
@@ -94,11 +97,10 @@ def make_dp_seg_eval_step(n_class: int, mesh: Mesh,
         dice = multiclass_dice(preds, labels.astype(jnp.int32), n_class)
         return lax.all_gather(dice, axis_name, axis=0, tiled=True), logits
 
-    sharded = shard_map(
-        dice_fn, mesh=mesh,
+    sharded = maybe_shard_map(
+        dice_fn, mesh,
         in_specs=(P(), P(axis_name), P(axis_name)),
-        out_specs=(P(), P(axis_name)),
-        check_vma=False)
+        out_specs=(P(), P(axis_name)), axis_names=(axis_name,))
 
     @jax.jit
     def eval_step(state: TrainState, images, labels):
@@ -118,11 +120,10 @@ def make_dp_confusion_eval_step(n_class: int, mesh: Mesh,
         cm = confusion_matrix(preds, labels.astype(jnp.int32), n_class)
         return lax.psum(cm, axis_name)
 
-    sharded_cm = shard_map(
-        cm_fn, mesh=mesh,
+    sharded_cm = maybe_shard_map(
+        cm_fn, mesh,
         in_specs=(P(), P(axis_name), P(axis_name)),
-        out_specs=P(),
-        check_vma=False)
+        out_specs=P(), axis_names=(axis_name,))
 
     @jax.jit
     def eval_step(state: TrainState, images, labels):
@@ -478,12 +479,12 @@ def make_dp_joint_steps(sim_loss: Callable, reg_loss: Callable,
         return pmean_tree((grads, new_bn, metrics), axis_name)
 
     batch_specs = (P(axis_name),) * 6
-    sharded_reg = shard_map(reg_grads_fn, mesh=mesh,
-                            in_specs=(P(), P()) + batch_specs,
-                            out_specs=P(), check_vma=False)
-    sharded_seg = shard_map(seg_grads_fn, mesh=mesh,
-                            in_specs=(P(), P()) + batch_specs,
-                            out_specs=P(), check_vma=False)
+    sharded_reg = maybe_shard_map(reg_grads_fn, mesh,
+                                  in_specs=(P(), P()) + batch_specs,
+                                  out_specs=P(), axis_names=(axis_name,))
+    sharded_seg = maybe_shard_map(seg_grads_fn, mesh,
+                                  in_specs=(P(), P()) + batch_specs,
+                                  out_specs=P(), axis_names=(axis_name,))
 
     @partial(jax.jit, donate_argnums=(0,))
     def dp_reg_step(reg_state, seg_state, *batch):
@@ -517,11 +518,10 @@ def make_dp_reg_train_step(sim_loss: Callable, reg_loss: Callable,
         metrics = {"loss": loss, "sim": sim, "reg": reg}
         return pmean_tree((metrics, grads), axis_name)
 
-    sharded_grads = shard_map(
-        grads_fn, mesh=mesh,
+    sharded_grads = maybe_shard_map(
+        grads_fn, mesh,
         in_specs=(P(), P(axis_name), P(axis_name)),
-        out_specs=P(),
-        check_vma=False)
+        out_specs=P(), axis_names=(axis_name,))
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, moving, fixed):

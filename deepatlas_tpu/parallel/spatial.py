@@ -40,20 +40,24 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-try:  # jax >= 0.8 promotes shard_map out of experimental
-    from jax import shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.steps import TrainState, _apply_model
-from .collectives import pmean_tree, psum_tree
+from .collectives import maybe_shard_map, pmean_tree, psum_tree
 
 
 def shard_volume_batch(batch, mesh: Mesh, axis: str = "space",
                        data_axis: str | None = None):
     """Device-put arrays with D sharded over ``axis`` (and optionally batch
     over ``data_axis``).  Works for (B, D, H, W[, C]) arrays."""
+    if mesh.size == 1:
+        # degenerate mesh: plain uncommitted put.  Committing a
+        # NamedSharding forces jit to compile SPMD-partitioned modules,
+        # which the axon TPU client executes pathologically slowly
+        # (PERF.md round-5, tools/probe_spatial_inputs.py); at size 1 the
+        # sharding carries no information anyway.
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
     def put(x):
         spec = [None] * x.ndim
         spec[1] = axis
@@ -125,11 +129,10 @@ def make_spatial_seg_step(model, criterion_factory: Callable, n_class: int,
         state = state.apply_gradients(grads, new_bn)
         return state, loss, logits
 
-    sharded = shard_map(
-        _local_step, mesh=mesh,
+    sharded = maybe_shard_map(
+        _local_step, mesh,
         in_specs=(state_spec, vol_spec, vol_spec),
-        out_specs=(state_spec, P(), vol_spec),
-        check_vma=False)
+        out_specs=(state_spec, P(), vol_spec), axis_names=loss_axes)
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, images, labels):
@@ -184,11 +187,10 @@ def make_spatial_reg_step(model, sim_factory: Callable,
             metrics = pmean_tree(metrics, data_axis)
         return state, metrics
 
-    sharded = shard_map(
-        _local_step, mesh=mesh,
+    sharded = maybe_shard_map(
+        _local_step, mesh,
         in_specs=(P(), vol_spec, vol_spec),
-        out_specs=(P(), P()),
-        check_vma=False)
+        out_specs=(P(), P()), axis_names=loss_axes)
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, moving, fixed):
@@ -350,16 +352,16 @@ def make_spatial_joint_steps(seg_model, reg_model, sim_factory: Callable,
         return seg_state, {"loss": loss, "anatomy": anat, "supervised": sup}
 
     flag_spec = P()
-    reg_sharded = shard_map(
-        _reg_local, mesh=mesh,
+    reg_sharded = maybe_shard_map(
+        _reg_local, mesh,
         in_specs=(P(), P(), vol_spec, vol_spec, vol_spec, vol_spec,
                   flag_spec, flag_spec),
-        out_specs=(P(), P()), check_vma=False)
-    seg_sharded = shard_map(
-        _seg_local, mesh=mesh,
+        out_specs=(P(), P()), axis_names=(axis,))
+    seg_sharded = maybe_shard_map(
+        _seg_local, mesh,
         in_specs=(P(), P(), vol_spec, vol_spec, vol_spec, vol_spec,
                   flag_spec, flag_spec),
-        out_specs=(P(), P()), check_vma=False)
+        out_specs=(P(), P()), axis_names=(axis,))
 
     @partial(jax.jit, donate_argnums=(0,))
     def joint_reg_step(reg_state, seg_state, moving, fixed, moving_seg,
@@ -399,9 +401,9 @@ def make_spatial_seg_eval_step(model, n_class: int, mesh: Mesh,
         dice = jax.vmap(lambda cm: dice_from_confusion(cm, 1e-11)[1:])(cms)
         return dice, logits
 
-    sharded = shard_map(_eval, mesh=mesh,
-                        in_specs=(P(), vol_spec, vol_spec),
-                        out_specs=(P(), vol_spec), check_vma=False)
+    sharded = maybe_shard_map(_eval, mesh,
+                              in_specs=(P(), vol_spec, vol_spec),
+                              out_specs=(P(), vol_spec), axis_names=(axis,))
     return jax.jit(sharded)
 
 
@@ -418,6 +420,7 @@ def make_spatial_seg_forward(model, mesh: Mesh, axis: str = "space",
         logits, _ = _apply_model(st, state.params, images, train=False)
         return logits
 
-    sharded = shard_map(_fwd, mesh=mesh, in_specs=(P(), vol_spec),
-                        out_specs=vol_spec, check_vma=False)
+    axes = (axis,) if data_axis is None else (axis, data_axis)
+    sharded = maybe_shard_map(_fwd, mesh, in_specs=(P(), vol_spec),
+                              out_specs=vol_spec, axis_names=axes)
     return jax.jit(sharded)
