@@ -230,6 +230,132 @@ def _conv_point_kernel(x_ref, b_ref, o_ref, xbuf, sem, *,
     o_ref[0] = y.astype(o_ref.dtype)
 
 
+def _variants_nd(block, *, n_planes, h, g, K):
+    """`_variants` over a STACK of ``n_planes`` packed planes at once.
+
+    The block reshapes to ``((n_planes*h*g), K)`` and the 9 (dy, r) shifts
+    become GLOBAL rolls: rows that would wrap across a plane boundary are
+    exactly the rows the per-plane edge masks zero (``hh = (row//g) % h``
+    hits h-1/0 at plane seams, ``j`` at w-group seams), so the masked
+    global roll equals per-plane rolls.  Kept separate from `_variants`
+    (identical math at n_planes=1) so the shipped single-plane kernels'
+    jaxprs — and their compile-cache entries — are untouched."""
+    M = h * g
+    Mt = n_planes * M
+    out_dtype = block.dtype if block.dtype == jnp.float32 else jnp.bfloat16
+    a32 = block.reshape(Mt, K).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Mt, 1), 0)
+    j = row % g
+    hh = (row // g) % h
+    segs = []
+    for dy in (-1, 0, 1):
+        for r in (-1, 0, 1):
+            shift = dy * g + r
+            ar = pltpu.roll(a32, (-shift) % Mt, 0) if shift else a32
+            conds = []
+            if dy == 1:
+                conds.append(hh < h - 1)
+            elif dy == -1:
+                conds.append(hh > 0)
+            if r == 1:
+                conds.append(j < g - 1)
+            elif r == -1:
+                conds.append(j > 0)
+            if conds:
+                m = conds[0]
+                for c in conds[1:]:
+                    m = m & c
+                ar = jnp.where(m, ar, 0.0)
+            segs.append(ar.astype(out_dtype))
+    return jnp.concatenate(segs, axis=1)                     # (Mt, 9K)
+
+
+def _conv_fwd_block_kernel(x_ref, b_ref, o_ref, xbuf, sem, *,
+                           p_blk, h, g, K, N, w_valid, h_valid, c_out):
+    """Multi-plane packed conv: ``p_blk`` OUTPUT planes per grid step.
+
+    The input arrives pre-padded with one zero plane on each side (and the
+    depth rounded up to a multiple of ``p_blk``), so step ``s`` DMAs the
+    halo'd window of ``p_blk + 2`` planes ``[s*p_blk, s*p_blk + p_blk+2)``
+    and every step is INDEPENDENT — no rotating accumulator, no cross-step
+    data flow, one DMA + one `(p_blk+2)*M x 9K by 9K x 3N` matmul per
+    step.  Each plane's shift-variants are built (p_blk+2)/p_blk times
+    instead of once (the halo overlap) in exchange for amortizing the
+    per-step launch/DMA/sync overhead — a win on the deep small-M U-Net
+    levels that run latency-bound in the one-plane kernel (PERF.md
+    round-4 roofline rows 3-9).  Experimental: forward-only entry
+    ``packed_conv3d_block``; microbench `tools/bench_block_conv.py`."""
+    s = pl.program_id(0)
+    P = p_blk
+    cp = pltpu.make_async_copy(x_ref.at[pl.ds(s * P, P + 2)], xbuf, sem)
+    cp.start()
+    cp.wait()
+    M = h * g
+    big = _variants_nd(xbuf[...], n_planes=P + 2, h=h, g=g, K=K)
+    y = jnp.dot(big, b_ref[...].astype(big.dtype),
+                preferred_element_type=jnp.float32)          # (Mt, 3N)
+    y3 = y.reshape(P + 2, M, 3 * N)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (h, g * N), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (h, g * N), 0)
+    keep = (lane < w_valid * c_out) & (rowi < h_valid)
+    for lo in range(P):
+        # out(o) += variants(i) @ B[:, dz], dz = i - o + 1; with the front
+        # zero pad, local input index li = lo + dz
+        o = y3[lo, :, 0:N] + y3[lo + 1, :, N:2 * N] \
+            + y3[lo + 2, :, 2 * N:3 * N]
+        o = o.reshape(h, g * N)
+        o_ref[lo] = jnp.where(keep, o, 0.0).astype(o_ref.dtype)
+
+
+def _conv_fwd_block_call(x, B, cfg, p_blk):
+    c_in, c_out, w_blk, w_valid, h_valid, interpret = cfg
+    d_tot, h, L = x.shape
+    K = w_blk * c_in
+    N = w_blk * c_out
+    g = L // K
+    Lout = g * N
+    d_pad = -(-d_tot // p_blk) * p_blk
+    xp = jnp.pad(x, [(1, d_pad - d_tot + 1), (0, 0), (0, 0)])
+    kern = functools.partial(_conv_fwd_block_kernel, p_blk=p_blk, h=h, g=g,
+                             K=K, N=N, w_valid=w_valid, h_valid=h_valid,
+                             c_out=c_out)
+    out = pl.pallas_call(
+        kern,
+        grid=(d_pad // p_blk,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((p_blk, h, Lout), lambda s: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d_pad, h, Lout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((p_blk + 2, h, L), x.dtype),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=_VMEM,
+        interpret=interpret,
+    )(xp, B)
+    return out[:d_tot]
+
+
+def packed_conv3d_block(x: jnp.ndarray, k: jnp.ndarray, *, c_in: int,
+                        w_valid: int, h_valid: int | None = None,
+                        p_blk: int = 4,
+                        interpret: bool | None = None) -> jnp.ndarray:
+    """Forward-only multi-plane variant of :func:`packed_conv3d` (k3 only).
+
+    Experimental VERDICT-r4 #9 probe: amortizes per-grid-step overhead
+    over ``p_blk`` output planes (see `_conv_fwd_block_kernel`).  Not yet
+    differentiable — adoption would reuse the same call with the adjoint
+    bank for d/dx, exactly like `_packed_conv_bwd`."""
+    if interpret is None:
+        interpret = _default_interpret()
+    if h_valid is None:
+        h_valid = x.shape[1]
+    c_out = k.shape[-1]
+    w_blk = choose_w_blk(c_in, c_out)
+    cfg = (c_in, c_out, w_blk, w_valid, h_valid, interpret)
+    B = build_band_bank(k.astype(jnp.float32), c_in, c_out, w_blk)
+    return _conv_fwd_block_call(x, B, cfg, p_blk)
+
+
 def _conv_wgrad_kernel(x_ref, g_ref, db_ref, xbuf, gbuf, sem, *,
                        d_tot, h, g, K, N, w_valid, h_valid, c_out):
     """dB (9K, 3N) = sum_i variants(x_i)^T @ [g_{i+1} | g_i | g_{i-1}]."""

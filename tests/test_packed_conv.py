@@ -111,3 +111,23 @@ def test_non_power_of_two_channels_clear_error():
         choose_w_blk(24, 32)
     with pytest.raises(ValueError, match="powers of two"):
         choose_w_blk(16, 31)
+
+
+@pytest.mark.parametrize("p_blk,d", [(2, 7), (4, 12), (3, 10)])
+def test_block_forward_matches_xla(rng, p_blk, d):
+    """Experimental multi-plane forward (`packed_conv3d_block`): p_blk
+    output planes per grid step via the halo'd window + global-roll
+    variants (`_variants_nd`), against the XLA reference — including a
+    depth that is not a multiple of p_blk (tail padding)."""
+    from deepatlas_tpu.pallas.conv3d import packed_conv3d_block
+
+    h, w, cin, cout = 8, 12, 8, 16
+    x = jnp.asarray(rng.rand(1, d, h, w, cin).astype(np.float32))
+    k = jnp.asarray(0.1 * rng.randn(3, 3, 3, cin, cout).astype(np.float32))
+    ref = xla_conv(x, k)
+    ws = packed_width(w, cin, cout)
+    xp = pack_channels(x, ws)[0]
+    out = packed_conv3d_block(xp, k, c_in=cin, w_valid=w, p_blk=p_blk,
+                              interpret=True)
+    blk = unpack_channels(out[None], cout, w)
+    np.testing.assert_allclose(np.asarray(blk), np.asarray(ref), atol=2e-5)
