@@ -1,11 +1,14 @@
 """On-chip DP joint step at full MB101 size on a mesh of 1.
 
 Round-2 VERDICT weak #2 asked for a recorded on-chip artifact of the DP
-joint path (shard_map + collectives + Pallas kernels) at the flagship
-configuration — multi-chip hardware is not reachable from this host, so
-the mesh has one device; the program still lowers through shard_map with
-the pmean collectives and the packed convs / fused anatomy / injected
-Pallas warps engaged exactly as the multi-chip build would.
+joint path at the flagship configuration — multi-chip hardware is not
+reachable from this host, so the mesh has one device.  Since round 5 the
+mesh-of-1 builders take the degenerate fast path (size-1 vmap axis
+binding, parallel/collectives.py::maybe_shard_map) rather than shard_map
+— the SPMD execution path is pathological under the axon client (PERF.md
+round-5) — so this artifact records what a 1-chip user of the DP API
+pays vs the plain step (target: ~0); the true shard_map lowering is
+exercised by dryrun_multichip(8) and the CPU-mesh suites.
 
   python tools/bench_dp_onchip.py --out DP_ONCHIP_r03.json
 """
