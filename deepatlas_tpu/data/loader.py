@@ -32,14 +32,51 @@ def auto_num_workers(batch_size: int) -> int:
     return max(2, min(batch_size, 2 * cores, 16))
 
 
-def _stack_samples(samples: Sequence[dict]) -> dict:
+class _BufferRing:
+    """Recycled collation buffers.  On this class of host (and any
+    freshly-booted VM) writing into newly mmap'd pages runs ~25x slower
+    than into warm recycled pages (measured: np.stack of a full-size
+    MB101 batch 1.8 s fresh vs 0.19 s into a reused buffer — zero-page
+    faults dominate), and numpy frees large temporaries straight back to
+    the OS, so per-batch `np.stack` pays the fault cost every single
+    batch.  The ring hands out `depth` preallocated arrays per
+    (key, shape, dtype) slot round-robin; a yielded batch stays valid
+    until `depth` further batches have been produced — sized to cover
+    the prefetch queue plus the batch the consumer holds (training
+    converts to device arrays immediately; see DataLoader docstring)."""
+
+    def __init__(self, depth: int):
+        self.depth = max(2, int(depth))
+        self._slots: dict = {}
+
+    def get(self, key, shape, dtype) -> np.ndarray:
+        slot = self._slots.get(key)
+        if slot is None or slot[0][0].shape != shape \
+                or slot[0][0].dtype != dtype:
+            bufs = [np.empty(shape, dtype) for _ in range(self.depth)]
+            self._slots[key] = slot = [bufs, 0]
+        bufs, i = slot
+        slot[1] = (i + 1) % self.depth
+        return bufs[i]
+
+
+def _stack_samples(samples: Sequence[dict], ring: "_BufferRing" = None,
+                   ring_prefix: str = "") -> dict:
     """Stack a list of sample dicts into a batch dict of arrays; non-array
-    values (names) become lists."""
+    values (names) become lists.  With a ``ring``, array outputs are
+    written into recycled buffers instead of fresh allocations."""
     out: dict = {}
     for key in samples[0]:
         vals = [s[key] for s in samples]
         if isinstance(vals[0], np.ndarray):
-            out[key] = np.stack(vals, axis=0)
+            if ring is not None:
+                buf = ring.get(ring_prefix + key,
+                               (len(vals),) + vals[0].shape, vals[0].dtype)
+                for i, v in enumerate(vals):
+                    buf[i] = v
+                out[key] = buf
+            else:
+                out[key] = np.stack(vals, axis=0)
         else:
             out[key] = vals
     return out
@@ -57,6 +94,13 @@ class DataLoader:
         prefer full batches).
       prefetch: number of batches staged ahead by the background thread
         (0 disables threading).
+
+    Batch lifetime: the default collate writes into a recycled buffer
+    ring (``_BufferRing``), so a yielded batch's arrays are overwritten
+    after ``prefetch + 3`` further batches.  The training loops convert
+    batches to device arrays immediately (``jnp.asarray``); a consumer
+    that retains host batches across iterations must copy them or pass
+    ``collate=DataLoader.fresh_collate``.
     """
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
@@ -72,6 +116,7 @@ class DataLoader:
         # samples per step; a fixed pool of 2 starves wide meshes)
         self.num_workers = (auto_num_workers(batch_size)
                             if num_workers is None else num_workers)
+        self._ring = _BufferRing(prefetch + 3)
         self.collate = collate or self._default_collate
         self._rng = np.random.RandomState(seed)
         # ingest accounting: time the consumer was blocked waiting for a
@@ -85,8 +130,18 @@ class DataLoader:
         return self.wait_seconds / self.total_seconds \
             if self.total_seconds > 0 else 0.0
 
+    def _default_collate(self, samples):
+        if isinstance(samples[0], tuple):
+            n = len(samples[0])
+            return tuple(_stack_samples([s[i] for s in samples],
+                                        self._ring, f"{i}/")
+                         for i in range(n))
+        return _stack_samples(samples, self._ring)
+
     @staticmethod
-    def _default_collate(samples):
+    def fresh_collate(samples):
+        """Ring-free collate: every batch owns fresh arrays (safe to
+        retain indefinitely, at fresh-page memcpy cost per batch)."""
         if isinstance(samples[0], tuple):
             n = len(samples[0])
             return tuple(_stack_samples([s[i] for s in samples])
