@@ -49,12 +49,18 @@ import time
 import jax
 import jax.numpy as jnp
 
-# persistent compile cache: the joint-step programs take minutes to build
-# through the axon tunnel; cached, a repeat bench run starts measuring in
-# seconds (the driver runs `python bench.py` with no env setup)
+# persistent compile cache: the joint-step programs take ~25 min to build
+# cold through the axon tunnel (the round-4 driver bench timed out on
+# exactly this).  The repo ships the bench programs pre-compiled in
+# ./.jaxcache (same host class, same jax/libtpu -> cache hits), so the
+# driver's round-end `python bench.py` starts measuring in seconds even
+# on a fresh /tmp; an env override or absent dir falls back to /tmp.
+_repo_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".jaxcache")
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/tmp/jaxcache"))
+                                 _repo_cache if os.path.isdir(_repo_cache)
+                                 else "/tmp/jaxcache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # the MB101 semi-supervised recipe's ordered-pair label mix: 21 labeled of
@@ -191,7 +197,11 @@ def main():
         p99 = float(np.percentile(vox, 99))
         return 2.0 / max(p99, 1e-6), p99
 
-    label_regimes = (["both", "moving", "fixed", "none"]
+    # heaviest-mix-weight regime first: if the driver's window kills the
+    # run mid-measurement, the provisional lines below under-state the
+    # headline (none = 45.5% of the pair mix and the slowest regime)
+    # rather than flattering it
+    label_regimes = (["none", "moving", "fixed", "both"]
                      if args.labels == "all" else [args.labels])
     field_regimes = (["worst", "typical"] if args.regime == "all"
                      else [args.regime])
@@ -239,6 +249,31 @@ def main():
             if field == "typical":
                 entry["field_p99_vox"] = 2.0
             regimes[f"{labels}|{field}"] = entry
+            # incremental emission (round-4 VERDICT next #2): one JSON
+            # line per measured regime so a driver-window kill still
+            # leaves a parsed, conservatively-weighted headline — the
+            # LAST printed line always carries the best-known estimate
+            if args.labels == "all" and field == field_regimes[0]:
+                mixw = _pair_mix()
+                seen = [lab for lab in mixw
+                        if f"{lab}|{field}" in regimes]
+                wsum = sum(mixw[lab] for lab in seen)
+                exp_dt = sum(mixw[lab]
+                             * regimes[f"{lab}|{field}"]["sec_per_iter"]
+                             for lab in seen) / wsum
+                part = {
+                    "metric": "joint DeepAtlas train iteration "
+                              f"({d}x{h}x{w}, batch 1, {nc} classes) "
+                              f"[PARTIAL: {len(seen)}/4 label regimes, "
+                              f"mix-renormalized, fields={field}]",
+                    "value": round(2.0 / exp_dt, 4),
+                    "unit": "volumes/sec/chip",
+                    "vs_baseline": (round(2.0 / exp_dt / baseline, 2)
+                                    if baseline else None),
+                    "partial": True,
+                    "regimes": dict(regimes),
+                }
+                print(json.dumps(part), flush=True)
         del warm
 
     mix = _pair_mix()
