@@ -276,9 +276,18 @@ def main():
             "wall_s": {"torch": round(t_torch, 1),
                        "jax_f32": round(t_jax, 1)},
         })
+        # incremental write: a wall-clock kill between seeds keeps the
+        # completed trajectories (each seed is ~10+ min on this host)
+        _write_out(args, shape, nc, tail, per_seed, spot=None,
+                   partial=(len(per_seed) < len(args.seeds)))
 
     spot = warp_mse_spot_check([24, 24, 24])
+    out = _write_out(args, shape, nc, tail, per_seed, spot=spot,
+                     partial=False)
+    print(json.dumps(out))
 
+
+def _write_out(args, shape, nc, tail, per_seed, spot, partial):
     out = {
         "recipe": {
             "size": list(shape), "n_classes": nc,
@@ -305,9 +314,12 @@ def main():
         "pass": all(s["pass"] for s in per_seed),
         "voxelmorph_spot_check": spot,
     }
+    if partial:
+        out["partial"] = ("%d of %d seeds completed before the wall-clock "
+                          "bound" % (len(per_seed), len(args.seeds)))
     with open(os.path.join(_ROOT, args.out), "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":
