@@ -49,18 +49,14 @@ import time
 import jax
 import jax.numpy as jnp
 
-# persistent compile cache: the joint-step programs take ~25 min to build
-# cold through the axon tunnel (the round-4 driver bench timed out on
-# exactly this).  The repo ships the bench programs pre-compiled in
-# ./.jaxcache (same host class, same jax/libtpu -> cache hits), so the
-# driver's round-end `python bench.py` starts measuring in seconds even
-# on a fresh /tmp; an env override or absent dir falls back to /tmp.
-_repo_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".jaxcache")
+# persistent compile cache: helps same-process re-jits and non-axon
+# backends.  NB measured on the axon tunnel: the cache does NOT hit
+# across processes (the client contributes a per-session key component),
+# so a driver run always pays the ~25-min cold compile — the incremental
+# emission below is the driver-window mitigation, not the cache.
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 _repo_cache if os.path.isdir(_repo_cache)
-                                 else "/tmp/jaxcache"))
+                                 "/tmp/jaxcache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # the MB101 semi-supervised recipe's ordered-pair label mix: 21 labeled of
